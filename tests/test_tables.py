@@ -171,7 +171,8 @@ def test_constellation_16qam_gray_axis():
     assert c[0b1111] == -1 - 1j      # innermost corner of -- quadrant
     assert c[0b1100] == -3 - 3j
     assert c[0b0001] == 3 + 1j
-    assert c[0b0100] == 1 + 3j
+    assert c[0b0010] == 1 + 3j       # y2=1 halves |I|
+    assert c[0b0100] == 3 - 3j       # y1=1 flips Q sign
     assert c[0b1010] == -1 + 3j
 
 
