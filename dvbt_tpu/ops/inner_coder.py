@@ -1,0 +1,96 @@
+"""Punctured convolutional inner coder K=7 (T4) and RX depuncturing.
+
+Reference behavior: `lib/inner_coder_impl.cc` and the depuncture half of
+`lib/viterbi_decoder_impl.cc` [unverified — mount empty]; spec: EN300744
+§4.3.3 (G1=171o, G2=133o, Table 3 puncturing).
+
+TPU-native design: the bit-serial shift register becomes five vectorized
+XORs of shifted views of the whole bit block (pure VPU work); puncturing and
+depuncturing become static gather / scatter index arrays precomputed from the
+periodic Table 3 patterns.  Carried state: the last 6 input bits.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+
+K = 7
+G1_IDX = (6, 5, 4, 3, 0)  # taps as indices into concat(state6, bits): i + 6 - delay
+G2_IDX = (6, 4, 3, 1, 0)
+
+
+def _encode_mother(state: jnp.ndarray, b: jnp.ndarray):
+    """state (6,) oldest-first?  We store the last 6 bits in stream order.
+
+    full = [b_{n-6} .. b_{n-1}, b_n, ...]; output step i uses window
+    full[i : i+7] with full[i+6] the current bit.
+    """
+    full = jnp.concatenate([state, b], axis=-1)
+    n = b.shape[-1]
+
+    def taps(idx):
+        acc = full[..., idx[0] : idx[0] + n]
+        for t in idx[1:]:
+            acc = acc ^ full[..., t : t + n]
+        return acc
+
+    x = taps(G1_IDX)
+    y = taps(G2_IDX)
+    return b[..., -6:], x, y
+
+
+def make_inner_coder(n_bits: int, rate: str):
+    """Returns apply(state6, bits) -> (state6', coded_bits).
+
+    bits: uint8 (n_bits,) info bits (MSB-first serialized upstream).
+    coded_bits: (n_bits * den / num,) after rate num/den puncturing.
+    """
+    order = tables.puncture_serial_order(rate)
+    period = len(tables.PUNCTURE[rate][0])
+    assert n_bits % period == 0, (n_bits, period)
+    n_blk = n_bits // period
+    keep = (np.arange(n_blk, dtype=np.int64)[:, None] * 2 * period
+            + order[None, :].astype(np.int64)).reshape(-1)
+    keep = jnp.asarray(keep, dtype=jnp.int32)
+
+    def apply(state: jnp.ndarray, b: jnp.ndarray):
+        state, x, y = _encode_mother(state, b)
+        xy = jnp.stack([x, y], axis=-1).reshape(*b.shape[:-1], 2 * n_bits)
+        return state, xy[..., keep]
+
+    return jax.jit(apply)
+
+
+def make_depuncture(n_info_bits: int, rate: str):
+    """Returns depuncture(coded) -> (x, y, x_known, y_known), each (n_info_bits,).
+
+    Re-inserts erasures at punctured positions: *_known masks are 1 where the
+    mother-code bit was actually transmitted.  Input dtype is preserved so the
+    same map serves hard bits (uint8) and soft metrics (float).
+    """
+    order = tables.puncture_serial_order(rate)
+    period = len(tables.PUNCTURE[rate][0])
+    assert n_info_bits % period == 0
+    n_blk = n_info_bits // period
+    pos = (np.arange(n_blk, dtype=np.int64)[:, None] * 2 * period
+           + order[None, :].astype(np.int64)).reshape(-1)
+    known_np = np.zeros(2 * n_info_bits, dtype=np.uint8)
+    known_np[pos] = 1
+    scatter = jnp.asarray(pos, dtype=jnp.int32)
+    known = jnp.asarray(known_np)
+
+    def depuncture(coded: jnp.ndarray):
+        full = jnp.zeros((*coded.shape[:-1], 2 * n_info_bits), coded.dtype)
+        full = full.at[..., scatter].set(coded)
+        x, y = full[..., 0::2], full[..., 1::2]
+        return x, y, known[0::2], known[1::2]
+
+    return jax.jit(depuncture)
+
+
+def init_state() -> jnp.ndarray:
+    return jnp.zeros((6,), dtype=jnp.uint8)
