@@ -1,0 +1,46 @@
+"""Channel impairment models for loopback / BER testing.
+
+The reference has no channel model of its own (loopback was file-based, or
+over the air); these are the impairments its RX chain is built to survive:
+AWGN, carrier frequency offset, timing offset, static multipath.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def awgn(key: jax.Array, iq: jnp.ndarray, snr_db: float) -> jnp.ndarray:
+    """Add complex AWGN at the given SNR relative to measured signal power."""
+    p_sig = jnp.mean(jnp.abs(iq) ** 2)
+    p_noise = p_sig / (10.0 ** (snr_db / 10.0))
+    k1, k2 = jax.random.split(key)
+    sigma = jnp.sqrt(p_noise / 2.0)
+    n = (jax.random.normal(k1, iq.shape) +
+         1j * jax.random.normal(k2, iq.shape)) * sigma
+    return (iq + n).astype(jnp.complex64)
+
+
+def apply_cfo(iq: jnp.ndarray, cfo_subcarriers: float, fft_len: int,
+              phase0: float = 0.0) -> jnp.ndarray:
+    """Rotate by a carrier frequency offset given in subcarrier spacings."""
+    n = jnp.arange(iq.shape[-1], dtype=jnp.float32)
+    ang = 2.0 * jnp.pi * cfo_subcarriers * n / fft_len + phase0
+    return (iq * jnp.exp(1j * ang)).astype(jnp.complex64)
+
+
+def apply_delay(iq: jnp.ndarray, delay: int) -> jnp.ndarray:
+    """Prepend `delay` zero samples (timing offset), keeping length."""
+    if delay == 0:
+        return iq
+    pad = jnp.zeros(iq.shape[:-1] + (delay,), iq.dtype)
+    return jnp.concatenate([pad, iq], axis=-1)[..., : iq.shape[-1]]
+
+
+def multipath(iq: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
+    """Static FIR multipath (taps complex, tap 0 = line of sight)."""
+    out = jnp.zeros_like(iq)
+    for d in range(taps.shape[0]):
+        out = out + taps[d] * apply_delay(iq, d)
+    return out.astype(jnp.complex64)

@@ -1,0 +1,121 @@
+"""The complete DVB-T receive chain as ONE pure jitted function.
+
+Reference: the RX flowgraph of SURVEY.md §3.2 (ofdm_sym_acquisition → FFT →
+demod_reference_signals → dvbt_demap → symbol/bit deinterleavers →
+viterbi_decoder → convolutional_deinterleaver → reed_solomon_dec →
+energy_descramble).  This module provides the symbol-aligned receiver
+(acquisition/CFO handled by ops.ofdm.make_symbol_acquisition + the streaming
+front-end in models/loopback.py); every data-dependent streaming behavior of
+the reference (sync-byte search, lock state) is re-expressed as batched
+detection + carried state under jit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mode import RS_PACKET, SYMBOLS_PER_FRAME, DvbtMode
+from ..ops import (
+    bit_interleaver,
+    energy,
+    inner_coder,
+    mapper,
+    ofdm,
+    outer_interleaver,
+    reed_solomon,
+    reference_signals,
+    symbol_interleaver,
+    viterbi,
+)
+from ..utils import bits as bitutils
+
+
+def init_rx_state(mode: DvbtMode,
+                  overlap: int = viterbi.DEFAULT_OVERLAP) -> dict:
+    """Carried RX state pytree (SURVEY.md §5.4): deinterleaver tail, Viterbi
+    boundary window, descrambler phase lock."""
+    return {
+        "deint_tail": outer_interleaver.init_state(),
+        "viterbi": viterbi.init_state(overlap),
+        "descr_phase": jnp.int32(0),
+        "descr_locked": jnp.asarray(False),
+    }
+
+
+def make_receiver(mode: DvbtMode, n_frames: int | None = None,
+                  equalize: bool = True,
+                  viterbi_body: int = viterbi.DEFAULT_BODY,
+                  viterbi_overlap: int = viterbi.DEFAULT_OVERLAP):
+    """Returns (rx, n_packets, n_samples).
+
+    rx(state, iq): complex64 (n_samples,) symbol-aligned baseband ->
+    (state', ts uint8 (n_packets, 188), metrics dict).
+
+    metrics: rs_corrected (P,), rs_uncorrectable (P,) bool, tps_bits (F, 68),
+    tps_frame (F,) — the observability counters of SURVEY.md §5.5.
+    """
+    if n_frames is None:
+        n_frames = mode.frames_per_block
+    assert n_frames % mode.frames_per_block == 0
+    n_packets = mode.packets_per_block * (n_frames // mode.frames_per_block)
+    n_bytes = n_packets * RS_PACKET
+    n_info_bits = n_bytes * 8
+    n_sym = n_frames * SYMBOLS_PER_FRAME
+    n_samples = n_sym * mode.symbol_len
+
+    demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
+    chan_est = reference_signals.make_channel_estimator(mode)
+    extract = reference_signals.make_payload_extractor(mode)
+    tps_dec = reference_signals.make_tps_decoder(mode)
+    qdemap = mapper.make_demapper(mode)
+    sym_dilv = symbol_interleaver.make_symbol_interleaver(
+        mode, SYMBOLS_PER_FRAME, deinterleave=True)
+    bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    depunct = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
+    vit = viterbi.make_viterbi_decoder(n_info_bits, body=viterbi_body,
+                                       overlap=viterbi_overlap)
+    out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
+    rs_dec = reed_solomon.make_rs_decoder()
+    descramble = energy.make_energy_dispersal(n_packets)
+
+    def rx(state: dict, iq: jnp.ndarray):
+        frames = iq.reshape(n_frames, -1)
+        carriers = demod(frames)                       # (F, 68, K)
+        if equalize:
+            H = chan_est(carriers)
+            X = carriers / H
+        else:
+            X = carriers
+        tps_bits, tps_frame = tps_dec(X)
+        cells = qdemap(extract(X))                     # (F, 68, C)
+        cells = sym_dilv(cells)
+        bits = bit_dilv(cells).reshape(-1)             # (n_coded_bits,)
+        x, y, xm, ym = depunct(bits)
+        xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+        ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+        vstate, info_bits = vit(state["viterbi"], x, y, xm, ym)
+        stream = bitutils.bits_to_bytes(info_bits)
+        tail, deinterleaved = out_dilv(state["deint_tail"], stream)
+        packets204 = deinterleaved.reshape(n_packets, RS_PACKET)
+        msg, rs_corr, rs_bad = rs_dec(packets204)
+        detected = energy.detect_dispersal_phase(msg)
+        phase = jnp.where(state["descr_locked"], state["descr_phase"],
+                          detected)
+        new_phase, ts = descramble(phase, msg)
+        new_state = {
+            "deint_tail": tail,
+            "viterbi": vstate,
+            "descr_phase": new_phase,
+            "descr_locked": jnp.asarray(True),
+        }
+        metrics = {
+            "rs_corrected": rs_corr,
+            "rs_uncorrectable": rs_bad,
+            "tps_bits": tps_bits,
+            "tps_frame": tps_frame,
+        }
+        return new_state, ts, metrics
+
+    return jax.jit(rx), n_packets, n_samples

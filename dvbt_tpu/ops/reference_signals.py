@@ -1,0 +1,184 @@
+"""Frame adaptation, pilots & TPS (T8) and their RX-side duals (R3).
+
+Reference behavior: `lib/reference_signals_impl.cc` — the shared TX/RX file
+hosting `reference_signals` and `demod_reference_signals` (SURVEY.md T8/R3)
+[unverified — mount empty]; spec: EN300744 §4.4 (frame adaptation), §4.5
+(pilots), §4.6 (TPS).
+
+TPU-native design: the reference's per-carrier pilot/TPS state machine
+becomes static per-frame templates — a frame is 68 symbols, the scattered
+pattern repeats with period 4 and the continual/TPS carrier sets are fixed,
+so everything except the TPS payload is a precomputed (68, K) numpy constant.
+The TPS differential modulation collapses to a (4, 68, n_tps) sign tensor
+indexed by the carried frame counter.  Channel estimation interpolates the
+scattered-pilot LS estimates with precomputed gather+weight tables (one
+static gather instead of per-carrier control flow).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+from ..mode import SYMBOLS_PER_FRAME, DvbtMode
+
+PILOT_BOOST = 4.0 / 3.0  # scattered/continual pilot amplitude [EN300744 §4.5.2]
+
+
+@functools.lru_cache(maxsize=None)
+def _frame_tables(mode: DvbtMode):
+    """Static numpy tables for one 68-symbol frame."""
+    K = mode.n_carriers
+    kmax = mode.kmax
+    w = tables.wk_sequence(K).astype(np.int64)
+    sign_w = (1 - 2 * w).astype(np.float32)
+    cp = mode.continual_pilots()
+    tp = mode.tps_carriers()
+    cp_set, tp_set = set(cp.tolist()), set(tp.tolist())
+
+    pilot_rows = np.zeros((SYMBOLS_PER_FRAME, K), dtype=np.float32)
+    data_idx = np.zeros((SYMBOLS_PER_FRAME, mode.n_payload), dtype=np.int32)
+    sp_list = []
+    for l in range(SYMBOLS_PER_FRAME):
+        sp = tables.scattered_pilot_carriers(l % 4, kmax)
+        sp_list.append(sp)
+        boosted = np.union1d(sp, cp)
+        pilot_rows[l, boosted] = PILOT_BOOST * sign_w[boosted]
+        is_data = np.ones(K, dtype=bool)
+        is_data[boosted] = False
+        is_data[tp] = False
+        d = np.nonzero(is_data)[0]
+        assert len(d) == mode.n_payload, (l, len(d))
+        data_idx[l] = d
+
+    # TPS cell signs for each of the 4 frame numbers: DBPSK chain from the
+    # w_k-initialised state, same bit on every TPS carrier [EN300744 §4.6]
+    tps_cells = np.zeros((4, SYMBOLS_PER_FRAME, len(tp)), dtype=np.float32)
+    tps_bits_all = np.zeros((4, SYMBOLS_PER_FRAME), dtype=np.uint8)
+    for f in range(4):
+        s = mode.tps_bits(f)
+        tps_bits_all[f] = s
+        fac = np.ones(SYMBOLS_PER_FRAME, dtype=np.float32)
+        for l in range(1, SYMBOLS_PER_FRAME):
+            fac[l] = fac[l - 1] * (1.0 - 2.0 * float(s[l]))
+        tps_cells[f] = fac[:, None] * sign_w[tp][None, :]
+
+    # scattered-pilot interpolation tables: for every (l, k) a left pilot
+    # slot + linear weight into the per-symbol pilot array (padded to the
+    # max count so the frame is rectangular)
+    n_sp_max = max(len(sp) for sp in sp_list)
+    sp_idx = np.zeros((SYMBOLS_PER_FRAME, n_sp_max), dtype=np.int32)
+    left_slot = np.zeros((SYMBOLS_PER_FRAME, K), dtype=np.int32)
+    weight = np.zeros((SYMBOLS_PER_FRAME, K), dtype=np.float32)
+    for l in range(SYMBOLS_PER_FRAME):
+        sp = sp_list[l]
+        n_sp = len(sp)
+        sp_idx[l, :n_sp] = sp
+        sp_idx[l, n_sp:] = sp[-1]
+        pos = (np.arange(K) - sp[0]) / 12.0
+        i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_sp - 2)
+        weight[l] = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
+        left_slot[l] = i0.astype(np.int32)
+
+    pilot_ref = PILOT_BOOST * sign_w[sp_idx]  # (68, n_sp_max)
+    return dict(
+        pilot_rows=pilot_rows, data_idx=data_idx, tp=tp,
+        tps_cells=tps_cells, tps_bits=tps_bits_all,
+        sp_idx=sp_idx, pilot_ref=pilot_ref,
+        left_slot=left_slot, weight=weight,
+    )
+
+
+def make_frame_adapter(mode: DvbtMode):
+    """TX frame adaptation.  Returns apply(frame_idx, data) where
+    data: complex64 (..., 68, n_payload) -> carriers (..., 68, K).
+
+    ``frame_idx`` (int32, mod 4) is the carried superframe position selecting
+    the TPS payload (frame number + alternating sync word).
+    """
+    t = _frame_tables(mode)
+    pilot_rows = jnp.asarray(t["pilot_rows"]).astype(jnp.complex64)
+    data_idx = jnp.asarray(t["data_idx"])
+    tp = jnp.asarray(t["tp"].astype(np.int32))
+    tps_cells = jnp.asarray(t["tps_cells"]).astype(jnp.complex64)
+    rows = jnp.arange(SYMBOLS_PER_FRAME, dtype=jnp.int32)[:, None]
+
+    def apply(frame_idx: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+        out = jnp.broadcast_to(pilot_rows, data.shape[:-2] + pilot_rows.shape)
+        out = out.at[..., rows, data_idx].set(data.astype(jnp.complex64))
+        out = out.at[..., rows, tp[None, :]].set(tps_cells[frame_idx % 4])
+        return out
+
+    return jax.jit(apply)
+
+
+def make_channel_estimator(mode: DvbtMode):
+    """RX LS channel estimation + linear frequency interpolation.
+
+    Returns estimate(Y): complex64 (..., 68, K) -> H (..., 68, K).
+    Mirrors the reference's scattered-pilot divide + every-12th-carrier
+    linear interpolation (SURVEY.md R3).
+    """
+    t = _frame_tables(mode)
+    sp_idx = jnp.asarray(t["sp_idx"])
+    pilot_ref = jnp.asarray(t["pilot_ref"]).astype(jnp.complex64)
+    left_slot = jnp.asarray(t["left_slot"])
+    weight = jnp.asarray(t["weight"]).astype(jnp.float32)
+
+    def estimate(Y: jnp.ndarray) -> jnp.ndarray:
+        Hp = jnp.take_along_axis(Y, jnp.broadcast_to(sp_idx, Y.shape[:-2] + sp_idx.shape), axis=-1) / pilot_ref
+        hl = jnp.take_along_axis(Hp, jnp.broadcast_to(left_slot, Y.shape[:-2] + left_slot.shape), axis=-1)
+        hr = jnp.take_along_axis(Hp, jnp.broadcast_to(left_slot + 1, Y.shape[:-2] + left_slot.shape), axis=-1)
+        return hl * (1.0 - weight) + hr * weight
+
+    return jax.jit(estimate)
+
+
+def make_payload_extractor(mode: DvbtMode):
+    """RX: gather the 1512/6048 payload cells out of the equalized carriers.
+
+    Returns extract(X): (..., 68, K) -> (..., 68, n_payload).
+    """
+    t = _frame_tables(mode)
+    data_idx = jnp.asarray(t["data_idx"])
+
+    def extract(X: jnp.ndarray) -> jnp.ndarray:
+        idx = jnp.broadcast_to(data_idx, X.shape[:-2] + data_idx.shape)
+        return jnp.take_along_axis(X, idx, axis=-1)
+
+    return jax.jit(extract)
+
+
+def make_tps_decoder(mode: DvbtMode):
+    """RX: DBPSK-demodulate the TPS bits of one frame-aligned symbol block.
+
+    Returns decode(Y) -> (bits (..., 68) uint8, frame_num (...,) int32).
+    bit l (l>=1) is the majority vote over TPS carriers of the differential
+    phase between symbols l-1 and l; s0 is reported as 0 (it is the
+    modulation init, not data).  frame_num is read from s23/s24.
+    """
+    t = _frame_tables(mode)
+    tp = jnp.asarray(t["tp"].astype(np.int32))
+
+    def decode(Y: jnp.ndarray):
+        cells = Y[..., tp]  # (..., 68, n_tps)
+        diff = cells[..., 1:, :] * jnp.conj(cells[..., :-1, :])
+        votes = jnp.sum(jnp.real(diff), axis=-1)  # (..., 67)
+        bits = (votes < 0).astype(jnp.uint8)
+        zeros = jnp.zeros_like(bits[..., :1])
+        s = jnp.concatenate([zeros, bits], axis=-1)
+        frame_num = (s[..., 23].astype(jnp.int32) << 1) | s[..., 24]
+        return s, frame_num
+
+    return jax.jit(decode)
+
+
+def expected_tps_bits(mode: DvbtMode, frame_idx: int) -> np.ndarray:
+    """Host-side TPS reference for tests/sync (s0 zeroed like the decoder)."""
+    s = mode.tps_bits(frame_idx).copy()
+    s[0] = 0
+    return s

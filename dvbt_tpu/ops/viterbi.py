@@ -1,0 +1,143 @@
+"""Viterbi decoder for the K=7 punctured mother code (R7 in SURVEY.md §2).
+
+Reference behavior: `lib/viterbi_decoder_impl.cc` — Karn-style ACS with SSE2
+intrinsics, the reference's only SIMD kernel [unverified — mount empty];
+spec: EN300744 §4.3.3.
+
+TPU-native design (SURVEY.md §7 hard part 1): the inherently sequential ACS
+recursion is broken over the time axis by **overlapped block decoding** — the
+stream is cut into independent windows of `body` steps padded by `overlap`
+warmup steps on both sides; every window decodes in parallel (windows are a
+batch dimension over the 64-state ACS), warmup regions are discarded.  With
+overlap >= ~5..10 constraint lengths the result is BER-identical to a full
+Viterbi (the PAPERS.md GPU-Viterbi literature pattern).  Depunctured
+erasures contribute zero branch metric.  This module is the pure-jnp `scan`
+implementation; `kernels/viterbi_pallas.py` holds the Pallas TPU kernel with
+the same contract.
+
+Carried state: the last `overlap` (x, y, mask) steps of the previous block,
+used as warmup prefix so block boundaries lose nothing.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import tables
+
+N_STATES = 64
+DEFAULT_OVERLAP = 128
+DEFAULT_BODY = 1024
+
+
+@functools.lru_cache(maxsize=None)
+def _trellis():
+    t = tables.viterbi_tables()
+    return (
+        np.asarray(t["pred"], np.int32),          # (64, 2)
+        np.asarray(t["pred_out_x"], np.int32),    # (64, 2)
+        np.asarray(t["pred_out_y"], np.int32),    # (64, 2)
+    )
+
+
+def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
+                         overlap: int = DEFAULT_OVERLAP):
+    """Returns decode(state, x, y, xm, ym) -> (state', bits).
+
+    x, y   : uint8 (n_bits,) hard mother-code bits (erasure positions
+             arbitrary)
+    xm, ym : uint8 (n_bits,) 1 where the bit was transmitted (depuncture
+             masks)
+    state  : dict with 'x','y','xm','ym' uint8 (overlap,) tails of the
+             previous block (zeros/zero-mask at stream start = free warmup)
+    bits   : uint8 (n_bits,) decoded info bits for THIS block's steps.
+
+    The decode of the first `overlap` steps uses real context carried from
+    the previous block; the final `overlap` steps have no lookahead (end of
+    available data) which is the same boundary the reference's streaming
+    traceback has at its buffer edge.
+    """
+    pred_np, pox_np, poy_np = _trellis()
+    pred = jnp.asarray(pred_np)
+    pox = jnp.asarray(pox_np)
+    poy = jnp.asarray(poy_np)
+
+    n_win = -(-n_bits // body)
+    padded = n_win * body
+
+    def decode(state, x, y, xm, ym):
+        def ext(name, arr):
+            pad = jnp.zeros((padded - n_bits,), arr.dtype)
+            return jnp.concatenate([state[name], arr, pad], axis=-1)
+
+        fx, fy = ext("x", x), ext("y", y)
+        fxm, fym = ext("xm", xm), ext("ym", ym)
+        L = body + 2 * overlap
+
+        # window w covers steps [w*body, w*body + L) of the extended stream
+        # (extended stream position p = original position p - overlap)
+        starts = np.arange(n_win) * body
+        widx = jnp.asarray(starts[:, None] + np.arange(L)[None, :],
+                           jnp.int32)  # (n_win, L)
+        total = padded + overlap
+        valid = widx < total
+        widx_c = jnp.minimum(widx, total - 1)
+
+        def win(arr):
+            return jnp.where(valid, arr[widx_c], 0)
+
+        wx, wy = win(fx).astype(jnp.int32), win(fy).astype(jnp.int32)
+        wxm, wym = win(fxm).astype(jnp.int32), win(fym).astype(jnp.int32)
+
+        # ACS forward pass over L steps, batched over windows
+        def step(pm, inputs):
+            bx, by, bxm, bym = inputs  # (n_win,)
+            # branch metric for edge into state s via pred d:
+            # mism = xm*(x != pox) + ym*(y != poy)  -> (n_win, 64, 2)
+            mx = bxm[:, None, None] * (bx[:, None, None] != pox[None])
+            my = bym[:, None, None] * (by[:, None, None] != poy[None])
+            bm = (mx + my).astype(jnp.int32)
+            cand = pm[jnp.arange(n_win)[:, None, None], pred[None]] + bm
+            dec = (cand[:, :, 1] < cand[:, :, 0]).astype(jnp.uint8)
+            new_pm = jnp.minimum(cand[:, :, 0], cand[:, :, 1])
+            new_pm = new_pm - new_pm.min(axis=-1, keepdims=True)
+            return new_pm, dec
+
+        pm0 = jnp.zeros((n_win, N_STATES), jnp.int32)
+        inputs = (wx.T, wy.T, wxm.T, wym.T)  # (L, n_win)
+        pm_fin, decs = jax.lax.scan(step, pm0, inputs)  # decs (L, n_win, 64)
+
+        # traceback from the best final state
+        s_end = jnp.argmin(pm_fin, axis=-1).astype(jnp.int32)  # (n_win,)
+
+        def tb(s, dec_t):
+            bit = (s >> 5).astype(jnp.uint8)
+            d = dec_t[jnp.arange(n_win), s]
+            s_prev = ((s & 31) << 1) | d.astype(jnp.int32)
+            return s_prev, bit
+
+        _, bits_rev = jax.lax.scan(tb, s_end, decs, reverse=True)
+        bits_all = bits_rev  # (L, n_win): bit at step t of each window
+        body_bits = bits_all[overlap: overlap + body]  # (body, n_win)
+        out = body_bits.T.reshape(-1)[:n_bits].astype(jnp.uint8)
+
+        # carry the last `overlap` REAL steps (extended position of original
+        # step p is p + overlap, so the tail is f[n_bits : n_bits + overlap])
+        new_state = {
+            "x": fx[n_bits: n_bits + overlap],
+            "y": fy[n_bits: n_bits + overlap],
+            "xm": fxm[n_bits: n_bits + overlap],
+            "ym": fym[n_bits: n_bits + overlap],
+        }
+        return new_state, out
+
+    return jax.jit(decode)
+
+
+def init_state(overlap: int = DEFAULT_OVERLAP):
+    z = jnp.zeros((overlap,), jnp.uint8)
+    return {"x": z, "y": z, "xm": z, "ym": z}
