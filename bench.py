@@ -1,0 +1,91 @@
+"""Benchmark: full 8K 64-QAM 2/3 (UK profile) TX+RX loopback throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": Msamples/s/chip, "unit": ..., "vs_baseline": ...}
+
+vs_baseline is relative to the reference's implied real-time requirement of
+64/7 ≈ 9.143 Msamples/s on CPU (BASELINE.md: the reference publishes no
+numbers; real-time operation is its design target).  The BASELINE.json
+north star is 100x real time per chip.
+
+Env knobs: DVBT_BENCH_MODE (default 8k64qam23 | 2kqpsk12),
+DVBT_BENCH_SECONDS (target measure time, default 10).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.mode import MODE_2K_QPSK, MODE_8K_UK
+    from dvbt_tpu.models import rx as rxm, tx as txm
+
+    which = os.environ.get("DVBT_BENCH_MODE", "8k64qam23")
+    mode = {"8k64qam23": MODE_8K_UK, "2kqpsk12": MODE_2K_QPSK}[which]
+    target_s = float(os.environ.get("DVBT_BENCH_SECONDS", "10"))
+
+    tx, n_pk, n_samp = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode)
+
+    # tx and rx are each one jitted program; composing them under one more
+    # jit re-lowers the whole chain into a single XLA module, which the TPU
+    # compiler handles far worse (>15 min) than the two-program pipeline.
+    def step(tx_state, rx_state, packets):
+        tx_state, iq = tx(tx_state, packets)
+        rx_state, ts, metrics = rx(rx_state, iq)
+        return tx_state, rx_state, ts, metrics["rs_uncorrectable"]
+
+    packets = jnp.asarray(tsio.make_ts_packets(n_pk))
+    tst = txm.init_tx_state(mode)
+    rst = rxm.init_rx_state(mode)
+
+    # warmup / compile (2 steps: first also fills carried state)
+    t0 = time.time()
+    tst, rst, ts, bad = step(tst, rst, packets)
+    jax.block_until_ready(ts)
+    compile_s = time.time() - t0
+    tst, rst, ts, bad = step(tst, rst, packets)
+    jax.block_until_ready(ts)
+
+    # calibrate
+    t0 = time.time()
+    tst, rst, ts, bad = step(tst, rst, packets)
+    jax.block_until_ready(ts)
+    t1 = max(time.time() - t0, 1e-4)
+    iters = max(3, int(target_s / t1))
+
+    t0 = time.time()
+    for _ in range(iters):
+        tst, rst, ts, bad = step(tst, rst, packets)
+    jax.block_until_ready(ts)
+    elapsed = time.time() - t0
+
+    n_bad = int(jnp.sum(bad))
+    msps = n_samp * iters / elapsed / 1e6
+    realtime = 64e6 / 7 / 1e6  # 9.1428 Msps
+    result = {
+        "metric": f"tx_rx_loopback_throughput_{which}",
+        "value": round(msps, 3),
+        "unit": "Msamples/s/chip",
+        "vs_baseline": round(msps / realtime, 3),
+        "device": str(jax.devices()[0]),
+        "iters": iters,
+        "block_samples": n_samp,
+        "compile_s": round(compile_s, 1),
+        "rs_uncorrectable_last_block": n_bad,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -32,13 +32,23 @@ def _symbol_indices(mode: DvbtMode) -> np.ndarray:
     return out
 
 
+def _device_indices(mode: DvbtMode) -> jnp.ndarray:
+    """(n_payload, v) gather index built on device: tiny (126, v) base block
+    + per-block iota offsets (no big embedded constants)."""
+    blk = tables.bit_interleaver_indices(mode.v, mode.hierarchical)
+    n_blocks = mode.n_payload // tables.BIT_ILV_BLOCK
+    per_block = tables.BIT_ILV_BLOCK * mode.v
+    offs = jnp.arange(n_blocks, dtype=jnp.int32)[:, None, None] * per_block
+    return (jnp.asarray(blk)[None] + offs).reshape(mode.n_payload, mode.v)
+
+
 def make_bit_interleaver(mode: DvbtMode):
     """Returns interleave(bits) : uint8 (..., n_sym, n_payload*v)
     -> int32 cells (..., n_sym, n_payload) with y0 as cell MSB."""
-    idx = jnp.asarray(_symbol_indices(mode), dtype=jnp.int32)
-    w = jnp.asarray(1 << np.arange(mode.v - 1, -1, -1, dtype=np.int32))
+    w = (1 << np.arange(mode.v - 1, -1, -1)).astype(np.int32)
 
     def interleave(b: jnp.ndarray) -> jnp.ndarray:
+        idx = _device_indices(mode)
         cell_bits = b[..., idx].astype(jnp.int32)  # (..., n_payload, v)
         return (cell_bits * w).sum(axis=-1)
 
@@ -48,12 +58,11 @@ def make_bit_interleaver(mode: DvbtMode):
 def make_bit_deinterleaver(mode: DvbtMode):
     """Returns deinterleave(cells) : int32 (..., n_sym, n_payload)
     -> uint8 bits (..., n_sym, n_payload*v)."""
-    idx_np = _symbol_indices(mode)
-    flat_idx = jnp.asarray(idx_np.reshape(-1), dtype=jnp.int32)
-    sh = jnp.asarray(np.arange(mode.v - 1, -1, -1, dtype=np.int32))
+    sh = np.arange(mode.v - 1, -1, -1, dtype=np.int32)
     n_bits = mode.n_payload * mode.v
 
     def deinterleave(cells: jnp.ndarray) -> jnp.ndarray:
+        flat_idx = _device_indices(mode).reshape(-1)
         cell_bits = ((cells[..., :, None] >> sh) & 1).astype(jnp.uint8)
         flat = cell_bits.reshape(*cells.shape[:-1], n_bits)
         out = jnp.zeros_like(flat)

@@ -26,12 +26,12 @@ def make_energy_dispersal(n_packets: int):
     ``phase`` is the dispersal-group index (0..7) of the first packet in the
     block.  Same function serves TX scrambling and RX descrambling.
     """
-    pat = jnp.asarray(tables.dispersal_pattern())
-    offsets = jnp.arange(n_packets, dtype=jnp.int32)
+    pat = tables.dispersal_pattern()  # numpy: embedded at trace time
+    offsets = np.arange(n_packets, dtype=np.int32)
 
     def apply(phase: jnp.ndarray, packets: jnp.ndarray):
         idx = (phase + offsets) % 8
-        out = packets ^ pat[idx]
+        out = packets ^ jnp.asarray(pat)[idx]
         return (phase + n_packets) % 8, out
 
     return jax.jit(apply)

@@ -53,13 +53,13 @@ def make_inner_coder(n_bits: int, rate: str):
     period = len(tables.PUNCTURE[rate][0])
     assert n_bits % period == 0, (n_bits, period)
     n_blk = n_bits // period
-    keep = (np.arange(n_blk, dtype=np.int64)[:, None] * 2 * period
-            + order[None, :].astype(np.int64)).reshape(-1)
-    keep = jnp.asarray(keep, dtype=jnp.int32)
 
     def apply(state: jnp.ndarray, b: jnp.ndarray):
         state, x, y = _encode_mother(state, b)
         xy = jnp.stack([x, y], axis=-1).reshape(*b.shape[:-1], 2 * n_bits)
+        # periodic keep-index computed on device (tiny `order` constant)
+        keep = (jnp.arange(n_blk, dtype=jnp.int32)[:, None] * (2 * period)
+                + jnp.asarray(order)[None, :]).reshape(-1)
         return state, xy[..., keep]
 
     return jax.jit(apply)
@@ -76,18 +76,19 @@ def make_depuncture(n_info_bits: int, rate: str):
     period = len(tables.PUNCTURE[rate][0])
     assert n_info_bits % period == 0
     n_blk = n_info_bits // period
-    pos = (np.arange(n_blk, dtype=np.int64)[:, None] * 2 * period
-           + order[None, :].astype(np.int64)).reshape(-1)
-    known_np = np.zeros(2 * n_info_bits, dtype=np.uint8)
-    known_np[pos] = 1
-    scatter = jnp.asarray(pos, dtype=jnp.int32)
-    known = jnp.asarray(known_np)
+    # per-period known masks (tiny constants; tiled on device)
+    known_np = np.zeros(2 * period, dtype=np.uint8)
+    known_np[np.asarray(order)] = 1
 
     def depuncture(coded: jnp.ndarray):
+        scatter = (jnp.arange(n_blk, dtype=jnp.int32)[:, None] * (2 * period)
+                   + jnp.asarray(order)[None, :]).reshape(-1)
         full = jnp.zeros((*coded.shape[:-1], 2 * n_info_bits), coded.dtype)
         full = full.at[..., scatter].set(coded)
         x, y = full[..., 0::2], full[..., 1::2]
-        return x, y, known[0::2], known[1::2]
+        kx = jnp.tile(jnp.asarray(known_np[0::2]), n_blk)
+        ky = jnp.tile(jnp.asarray(known_np[1::2]), n_blk)
+        return x, y, kx, ky
 
     return jax.jit(depuncture)
 

@@ -23,19 +23,19 @@ from ..mode import DvbtMode
 
 
 def make_mapper(mode: DvbtMode):
-    table = jnp.asarray(mode.constellation_table().astype(np.complex64))
+    table = mode.constellation_table().astype(np.complex64)
 
     def qam_map(cells: jnp.ndarray) -> jnp.ndarray:
         """int32 cells (...,) -> complex64 points (...,)."""
-        return table[cells]
+        return jnp.asarray(table)[cells]
 
     return jax.jit(qam_map)
 
 
 def make_demapper(mode: DvbtMode):
     c = mode.constellation_table().astype(np.complex64)
-    pts = jnp.asarray(np.stack([c.real, c.imag], axis=0), jnp.float32)  # (2, 2^v)
-    half_norm = jnp.asarray((np.abs(c) ** 2 / 2).astype(np.float32))
+    pts = np.stack([c.real, c.imag], axis=0).astype(np.float32)  # (2, 2^v)
+    half_norm = (np.abs(c) ** 2 / 2).astype(np.float32)
 
     def qam_demap(y: jnp.ndarray) -> jnp.ndarray:
         """complex64 (...,) -> int32 hard-decision cell values (...,)."""

@@ -35,7 +35,7 @@ def _bin_map(mode: DvbtMode) -> np.ndarray:
 def make_ofdm_modulator(mode: DvbtMode):
     """Returns modulate(carriers): complex64 (..., n_sym, K)
     -> (..., n_sym*(N+guard)) time-domain baseband at 64/7 Msps."""
-    bins = jnp.asarray(_bin_map(mode))
+    bins = _bin_map(mode)
     N, G = mode.fft_len, mode.guard_len
 
     def modulate(carriers: jnp.ndarray) -> jnp.ndarray:
@@ -51,7 +51,7 @@ def make_ofdm_modulator(mode: DvbtMode):
 def make_ofdm_demodulator(mode: DvbtMode, n_sym: int):
     """Returns demodulate(iq): complex64 (..., n_sym*(N+guard))
     -> carriers (..., n_sym, K).  Assumes symbol-aligned input (R1 output)."""
-    bins = jnp.asarray(_bin_map(mode))
+    bins = _bin_map(mode)
     N, G = mode.fft_len, mode.guard_len
 
     def demodulate(iq: jnp.ndarray) -> jnp.ndarray:
@@ -115,7 +115,7 @@ def make_symbol_acquisition(mode: DvbtMode, n_samples: int):
 def make_cfo_corrector(n_samples: int, fft_len: int):
     """Returns correct(iq, cfo_frac, phase0) -> (iq', phase1): NCO derotation
     by cfo_frac subcarrier spacings; phase is carried across blocks."""
-    n = jnp.arange(n_samples, dtype=jnp.float32)
+    n = np.arange(n_samples, dtype=np.float32)
 
     def correct(iq: jnp.ndarray, cfo: jnp.ndarray, phase0: jnp.ndarray):
         ang = -2.0 * jnp.pi * cfo[..., None] * n / fft_len + phase0[..., None]

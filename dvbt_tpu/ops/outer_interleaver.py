@@ -24,13 +24,14 @@ TAIL = (OUTER_I - 1) * RS_PACKET  # 2244 bytes of carried history
 
 
 def _make(n_bytes: int, deinterleave: bool):
-    i = np.arange(n_bytes, dtype=np.int64)
-    j = i % OUTER_I
-    delay = ((OUTER_I - 1 - j) if deinterleave else j) * RS_PACKET
-    src = jnp.asarray(i - delay + TAIL, dtype=jnp.int32)
-
     def apply(tail: jnp.ndarray, x: jnp.ndarray):
         """tail uint8 (2244,), x uint8 (n_bytes,) -> (tail', y)."""
+        # gather index computed from iota on device: multi-MB constant index
+        # arrays embedded in the HLO make the TPU compiler crawl
+        i = jnp.arange(n_bytes, dtype=jnp.int32)
+        j = i % OUTER_I
+        d = (OUTER_I - 1 - j) if deinterleave else j
+        src = i - d * RS_PACKET + TAIL
         buf = jnp.concatenate([tail, x], axis=-1)
         return buf[..., -TAIL:], buf[..., src]
 

@@ -49,7 +49,7 @@ def _device_tables():
     # numpy constants; converted per use site so no tracer is ever cached
     # (jnp constants are deduplicated by XLA during lowering anyway)
     exp_np, log_np = tables.gf_tables()
-    return jnp.asarray(exp_np), jnp.asarray(log_np)
+    return jnp.asarray(exp_np), jnp.asarray(log_np)  # created at trace time
 
 
 def _gmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -65,11 +65,12 @@ def _ginv(a: jnp.ndarray) -> jnp.ndarray:
 
 def make_rs_encoder():
     """Returns encode(msg) : uint8 (..., P, 188) -> (..., P, 204)."""
-    M = jnp.asarray(tables.rs_encode_bitmatrix(), dtype=jnp.bfloat16)
+    M = tables.rs_encode_bitmatrix()  # numpy
 
     def encode(msg: jnp.ndarray) -> jnp.ndarray:
         msg_bits = bitutils.bytes_to_bits(msg)
-        parity = bitutils.bits_to_bytes(_mod2_matmul(msg_bits, M))
+        parity = bitutils.bits_to_bytes(
+            _mod2_matmul(msg_bits, jnp.asarray(M, jnp.bfloat16)))
         return jnp.concatenate([msg, parity], axis=-1)
 
     return jax.jit(encode)
@@ -164,14 +165,13 @@ def make_rs_decoder():
 
     Observability outputs mirror SURVEY.md §5.5 (per-block counters).
     """
-    Msyn = jnp.asarray(tables.rs_syndrome_bitmatrix(), dtype=jnp.bfloat16)
+    Msyn_np = tables.rs_syndrome_bitmatrix()
     lam_np, omg_np, dlam_np, xk_np = _chien_power_tables()
-    lam_p = jnp.asarray(lam_np)
-    omg_p = jnp.asarray(omg_np)
-    dlam_p = jnp.asarray(dlam_np)
-    xk = jnp.asarray(xk_np)
 
     def decode(cw: jnp.ndarray):
+        Msyn = jnp.asarray(Msyn_np, jnp.bfloat16)
+        lam_p, omg_p = jnp.asarray(lam_np), jnp.asarray(omg_np)
+        dlam_p, xk = jnp.asarray(dlam_np), jnp.asarray(xk_np)
         cw_bits = bitutils.bytes_to_bits(cw)
         syn_bytes = bitutils.bits_to_bytes(_mod2_matmul(cw_bits, Msyn))
         S = syn_bytes.astype(jnp.int32)  # (..., 16), S[0]=r(alpha^0)

@@ -40,11 +40,13 @@ def _frame_tables(mode: DvbtMode):
     tp = mode.tps_carriers()
     cp_set, tp_set = set(cp.tolist()), set(tp.tolist())
 
-    pilot_rows = np.zeros((SYMBOLS_PER_FRAME, K), dtype=np.float32)
-    data_idx = np.zeros((SYMBOLS_PER_FRAME, mode.n_payload), dtype=np.int32)
+    # everything below is periodic in l mod 4, so only 4 rows are stored
+    # (tiled to 68 on device) — keeps embedded constants small
+    pilot_rows = np.zeros((4, K), dtype=np.float32)
+    data_idx = np.zeros((4, mode.n_payload), dtype=np.int32)
     sp_list = []
-    for l in range(SYMBOLS_PER_FRAME):
-        sp = tables.scattered_pilot_carriers(l % 4, kmax)
+    for l in range(4):
+        sp = tables.scattered_pilot_carriers(l, kmax)
         sp_list.append(sp)
         boosted = np.union1d(sp, cp)
         pilot_rows[l, boosted] = PILOT_BOOST * sign_w[boosted]
@@ -71,10 +73,10 @@ def _frame_tables(mode: DvbtMode):
     # slot + linear weight into the per-symbol pilot array (padded to the
     # max count so the frame is rectangular)
     n_sp_max = max(len(sp) for sp in sp_list)
-    sp_idx = np.zeros((SYMBOLS_PER_FRAME, n_sp_max), dtype=np.int32)
-    left_slot = np.zeros((SYMBOLS_PER_FRAME, K), dtype=np.int32)
-    weight = np.zeros((SYMBOLS_PER_FRAME, K), dtype=np.float32)
-    for l in range(SYMBOLS_PER_FRAME):
+    sp_idx = np.zeros((4, n_sp_max), dtype=np.int32)
+    left_slot = np.zeros((4, K), dtype=np.int32)
+    weight = np.zeros((4, K), dtype=np.float32)
+    for l in range(4):
         sp = sp_list[l]
         n_sp = len(sp)
         sp_idx[l, :n_sp] = sp
@@ -84,13 +86,21 @@ def _frame_tables(mode: DvbtMode):
         weight[l] = np.clip(pos - i0, 0.0, 1.0).astype(np.float32)
         left_slot[l] = i0.astype(np.int32)
 
-    pilot_ref = PILOT_BOOST * sign_w[sp_idx]  # (68, n_sp_max)
+    pilot_ref = PILOT_BOOST * sign_w[sp_idx]  # (4, n_sp_max)
     return dict(
         pilot_rows=pilot_rows, data_idx=data_idx, tp=tp,
         tps_cells=tps_cells, tps_bits=tps_bits_all,
         sp_idx=sp_idx, pilot_ref=pilot_ref,
         left_slot=left_slot, weight=weight,
     )
+
+
+_TILE = SYMBOLS_PER_FRAME // 4
+
+
+def _tile68(x4) -> jnp.ndarray:
+    """Tile a (4, ...) per-phase table to (68, ...) symbol rows on device."""
+    return jnp.tile(jnp.asarray(x4), (_TILE,) + (1,) * (x4.ndim - 1))
 
 
 def make_frame_adapter(mode: DvbtMode):
@@ -101,13 +111,16 @@ def make_frame_adapter(mode: DvbtMode):
     the TPS payload (frame number + alternating sync word).
     """
     t = _frame_tables(mode)
-    pilot_rows = jnp.asarray(t["pilot_rows"]).astype(jnp.complex64)
-    data_idx = jnp.asarray(t["data_idx"])
-    tp = jnp.asarray(t["tp"].astype(np.int32))
-    tps_cells = jnp.asarray(t["tps_cells"]).astype(jnp.complex64)
-    rows = jnp.arange(SYMBOLS_PER_FRAME, dtype=jnp.int32)[:, None]
+    pilot_rows_np = t["pilot_rows"].astype(np.complex64)
+    data_idx_np = t["data_idx"]
+    tp = t["tp"].astype(np.int32)
+    tps_cells_np = t["tps_cells"].astype(np.complex64)
 
     def apply(frame_idx: jnp.ndarray, data: jnp.ndarray) -> jnp.ndarray:
+        pilot_rows = _tile68(pilot_rows_np)
+        data_idx = _tile68(data_idx_np)
+        tps_cells = jnp.asarray(tps_cells_np)
+        rows = jnp.arange(SYMBOLS_PER_FRAME, dtype=jnp.int32)[:, None]
         out = jnp.broadcast_to(pilot_rows, data.shape[:-2] + pilot_rows.shape)
         out = out.at[..., rows, data_idx].set(data.astype(jnp.complex64))
         out = out.at[..., rows, tp[None, :]].set(tps_cells[frame_idx % 4])
@@ -124,15 +137,25 @@ def make_channel_estimator(mode: DvbtMode):
     linear interpolation (SURVEY.md R3).
     """
     t = _frame_tables(mode)
-    sp_idx = jnp.asarray(t["sp_idx"])
-    pilot_ref = jnp.asarray(t["pilot_ref"]).astype(jnp.complex64)
-    left_slot = jnp.asarray(t["left_slot"])
-    weight = jnp.asarray(t["weight"]).astype(jnp.float32)
+    sp_idx_np = t["sp_idx"]
+    pilot_ref_np = t["pilot_ref"].astype(np.complex64)
+    left_slot_np = t["left_slot"]
+    weight_np = t["weight"].astype(np.float32)
 
     def estimate(Y: jnp.ndarray) -> jnp.ndarray:
-        Hp = jnp.take_along_axis(Y, jnp.broadcast_to(sp_idx, Y.shape[:-2] + sp_idx.shape), axis=-1) / pilot_ref
-        hl = jnp.take_along_axis(Hp, jnp.broadcast_to(left_slot, Y.shape[:-2] + left_slot.shape), axis=-1)
-        hr = jnp.take_along_axis(Hp, jnp.broadcast_to(left_slot + 1, Y.shape[:-2] + left_slot.shape), axis=-1)
+        sp_idx = _tile68(sp_idx_np)
+        left_slot = _tile68(left_slot_np)
+        weight = _tile68(weight_np)
+        pilot_ref = _tile68(pilot_ref_np)
+        Hp = jnp.take_along_axis(
+            Y, jnp.broadcast_to(sp_idx, Y.shape[:-2] + sp_idx.shape),
+            axis=-1) / pilot_ref
+        hl = jnp.take_along_axis(
+            Hp, jnp.broadcast_to(left_slot, Y.shape[:-2] + left_slot.shape),
+            axis=-1)
+        hr = jnp.take_along_axis(
+            Hp, jnp.broadcast_to(left_slot + 1,
+                                 Y.shape[:-2] + left_slot.shape), axis=-1)
         return hl * (1.0 - weight) + hr * weight
 
     return jax.jit(estimate)
@@ -144,9 +167,10 @@ def make_payload_extractor(mode: DvbtMode):
     Returns extract(X): (..., 68, K) -> (..., 68, n_payload).
     """
     t = _frame_tables(mode)
-    data_idx = jnp.asarray(t["data_idx"])
+    data_idx_np = t["data_idx"]
 
     def extract(X: jnp.ndarray) -> jnp.ndarray:
+        data_idx = _tile68(data_idx_np)
         idx = jnp.broadcast_to(data_idx, X.shape[:-2] + data_idx.shape)
         return jnp.take_along_axis(X, idx, axis=-1)
 
@@ -162,7 +186,7 @@ def make_tps_decoder(mode: DvbtMode):
     modulation init, not data).  frame_num is read from s23/s24.
     """
     t = _frame_tables(mode)
-    tp = jnp.asarray(t["tp"].astype(np.int32))
+    tp = t["tp"].astype(np.int32)
 
     def decode(Y: jnp.ndarray):
         cells = Y[..., tp]  # (..., 68, n_tps)

@@ -19,15 +19,15 @@ import numpy as np
 from ..mode import SYMBOLS_PER_FRAME, DvbtMode
 
 
-def _index_matrix(mode: DvbtMode, n_sym: int, deinterleave: bool) -> np.ndarray:
+def _perm_pair(mode: DvbtMode, deinterleave: bool) -> np.ndarray:
+    """(2, n_payload) int32: row 0 = even-symbol gather, row 1 = odd."""
     h = mode.symbol_interleaver_perm().astype(np.int64)
     hinv = np.empty_like(h)
     hinv[h] = np.arange(len(h), dtype=np.int64)
     # TX even symbols: out[H[q]] = in[q]  -> gather with Hinv
     # TX odd  symbols: out[q]    = in[H[q]] -> gather with H
     even, odd = (h, hinv) if deinterleave else (hinv, h)
-    l = np.arange(n_sym) % 2
-    return np.where(l[:, None] == 0, even[None, :], odd[None, :])
+    return np.stack([even, odd]).astype(np.int32)
 
 
 def make_symbol_interleaver(mode: DvbtMode, n_sym: int = SYMBOLS_PER_FRAME,
@@ -37,9 +37,13 @@ def make_symbol_interleaver(mode: DvbtMode, n_sym: int = SYMBOLS_PER_FRAME,
     ``n_sym`` must cover frame-aligned data (row 0 = symbol l=0 of a frame)
     so that the even/odd rule lands on the right rows.
     """
-    idx = jnp.asarray(_index_matrix(mode, n_sym, deinterleave), jnp.int32)
+    assert n_sym % 2 == 0 or n_sym == 1
+    pair = _perm_pair(mode, deinterleave)
 
     def apply(cells: jnp.ndarray) -> jnp.ndarray:
+        # (n_sym, C) index by tiling the tiny (2, C) parity pair on device
+        p = jnp.asarray(pair)
+        idx = jnp.tile(p, (max(n_sym // 2, 1), 1))[:n_sym]
         bidx = jnp.broadcast_to(idx, cells.shape)
         return jnp.take_along_axis(cells, bidx, axis=-1)
 

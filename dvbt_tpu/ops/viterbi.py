@@ -62,9 +62,6 @@ def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
     traceback has at its buffer edge.
     """
     pred_np, pox_np, poy_np = _trellis()
-    pred = jnp.asarray(pred_np)
-    pox = jnp.asarray(pox_np)
-    poy = jnp.asarray(poy_np)
 
     n_win = -(-n_bits // body)
     padded = n_win * body
@@ -74,15 +71,16 @@ def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
             pad = jnp.zeros((padded - n_bits,), arr.dtype)
             return jnp.concatenate([state[name], arr, pad], axis=-1)
 
+        pred, pox, poy = (jnp.asarray(a) for a in (pred_np, pox_np, poy_np))
         fx, fy = ext("x", x), ext("y", y)
         fxm, fym = ext("xm", xm), ext("ym", ym)
         L = body + 2 * overlap
 
         # window w covers steps [w*body, w*body + L) of the extended stream
-        # (extended stream position p = original position p - overlap)
-        starts = np.arange(n_win) * body
-        widx = jnp.asarray(starts[:, None] + np.arange(L)[None, :],
-                           jnp.int32)  # (n_win, L)
+        # (extended stream position p = original position p - overlap);
+        # indices from device iota, not embedded constants (compile time)
+        widx = (jnp.arange(n_win, dtype=jnp.int32)[:, None] * body
+                + jnp.arange(L, dtype=jnp.int32)[None, :])
         total = padded + overlap
         valid = widx < total
         widx_c = jnp.minimum(widx, total - 1)

@@ -1,0 +1,35 @@
+"""Multi-chip tests on the forced-8-device CPU mesh (SURVEY.md §4 point 4):
+sharding must be bit-invisible — N-mux sharded output == per-mux serial
+output."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvbt_tpu.io import ts as tsio
+from dvbt_tpu.mode import MODE_2K_QPSK
+from dvbt_tpu.models import rx as rxm, tx as txm
+from dvbt_tpu.parallel import sharding
+
+
+def test_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_loopback_matches_serial():
+    mode = MODE_2K_QPSK
+    out, fleet = sharding.dryrun(mode, n_devices=4)
+    out = np.asarray(out)  # (4, P, 188) — second step, so no warmup garbage
+
+    # serial reference for mux 2: two blocks with the same packets
+    tx, n_pk, _ = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode)
+    packets = tsio.make_ts_packets(n_pk, seed=2)
+    tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+    ref = None
+    for _ in range(2):
+        tst, iq = tx(tst, jnp.asarray(packets))
+        rst, ref, _ = rx(rst, iq)
+    assert np.array_equal(out[2], np.asarray(ref))
+    assert int(fleet["rs_uncorrectable_total"]) == 0
