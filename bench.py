@@ -49,28 +49,35 @@ def main():
     tst = txm.init_tx_state(mode)
     rst = rxm.init_rx_state(mode)
 
-    # warmup / compile (2 steps: first also fills carried state)
-    t0 = time.time()
-    tst, rst, ts, bad = step(tst, rst, packets)
-    jax.block_until_ready(ts)
-    compile_s = time.time() - t0
-    tst, rst, ts, bad = step(tst, rst, packets)
-    jax.block_until_ready(ts)
+    def log(msg):
+        print(msg, file=sys.stderr, flush=True)
 
-    # calibrate
+    # warmup / compile (2 steps: first also fills carried state)
+    log("bench: compiling...")
     t0 = time.time()
     tst, rst, ts, bad = step(tst, rst, packets)
-    jax.block_until_ready(ts)
+    _ = int(ts[0, 0])
+    compile_s = time.time() - t0
+    log(f"bench: compiled in {compile_s:.1f}s")
+    tst, rst, ts, bad = step(tst, rst, packets)
+    _ = int(ts[0, 0])
+
+    # calibrate (scalar fetch = true roundtrip, not just block_until_ready)
+    t0 = time.time()
+    tst, rst, ts, bad = step(tst, rst, packets)
+    _ = int(ts[-1, -1])
     t1 = max(time.time() - t0, 1e-4)
-    iters = max(3, int(target_s / t1))
+    iters = min(max(3, int(target_s / t1)), 2000)
+    log(f"bench: single step {t1*1e3:.2f} ms -> {iters} iters")
 
     t0 = time.time()
     for _ in range(iters):
         tst, rst, ts, bad = step(tst, rst, packets)
-    jax.block_until_ready(ts)
-    elapsed = time.time() - t0
-
+    # force a real device->host roundtrip so remote backends can't fake
+    # completion through block_until_ready
     n_bad = int(jnp.sum(bad))
+    _ = int(ts[-1, -1])
+    elapsed = time.time() - t0
     msps = n_samp * iters / elapsed / 1e6
     realtime = 64e6 / 7 / 1e6  # 9.1428 Msps
     result = {

@@ -71,7 +71,7 @@ def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
             pad = jnp.zeros((padded - n_bits,), arr.dtype)
             return jnp.concatenate([state[name], arr, pad], axis=-1)
 
-        pred, pox, poy = (jnp.asarray(a) for a in (pred_np, pox_np, poy_np))
+        pox, poy = jnp.asarray(pox_np), jnp.asarray(poy_np)
         fx, fy = ext("x", x), ext("y", y)
         fxm, fym = ext("xm", xm), ext("ym", ym)
         L = body + 2 * overlap
@@ -91,34 +91,44 @@ def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
         wx, wy = win(fx).astype(jnp.int32), win(fy).astype(jnp.int32)
         wxm, wym = win(fxm).astype(jnp.int32), win(fym).astype(jnp.int32)
 
-        # ACS forward pass over L steps, batched over windows
+        # ACS forward pass over L steps, batched over windows.  The trellis
+        # butterfly makes the predecessor lookup a pure reshape — NO gathers:
+        # pred(s', d) = 2*(s' & 31) + d, so duplicating pm.reshape(32, 2)
+        # along the state axis yields every candidate.  Path metrics are
+        # bounded by 2*L << 2^31, so no per-step renormalization is needed.
+        # Decisions are bit-packed into two uint32 lanes per window (8x less
+        # HBM traffic than a (L, n_win, 64) byte tensor).
+        pack_w = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+
         def step(pm, inputs):
             bx, by, bxm, bym = inputs  # (n_win,)
-            # branch metric for edge into state s via pred d:
-            # mism = xm*(x != pox) + ym*(y != poy)  -> (n_win, 64, 2)
             mx = bxm[:, None, None] * (bx[:, None, None] != pox[None])
             my = bym[:, None, None] * (by[:, None, None] != poy[None])
-            bm = (mx + my).astype(jnp.int32)
-            cand = pm[jnp.arange(n_win)[:, None, None], pred[None]] + bm
-            dec = (cand[:, :, 1] < cand[:, :, 0]).astype(jnp.uint8)
+            bm = (mx + my).astype(jnp.int32)              # (n_win, 64, 2)
+            A = pm.reshape(n_win, 32, 2)                  # A[:, j, d]=pm[2j+d]
+            cand = jnp.concatenate([A, A], axis=1) + bm   # (n_win, 64, 2)
+            dec = (cand[:, :, 1] < cand[:, :, 0])
             new_pm = jnp.minimum(cand[:, :, 0], cand[:, :, 1])
-            new_pm = new_pm - new_pm.min(axis=-1, keepdims=True)
-            return new_pm, dec
+            w0 = (dec[:, :32].astype(jnp.uint32) * pack_w).sum(axis=-1)
+            w1 = (dec[:, 32:].astype(jnp.uint32) * pack_w).sum(axis=-1)
+            return new_pm, (w0, w1)
 
         pm0 = jnp.zeros((n_win, N_STATES), jnp.int32)
         inputs = (wx.T, wy.T, wxm.T, wym.T)  # (L, n_win)
-        pm_fin, decs = jax.lax.scan(step, pm0, inputs)  # decs (L, n_win, 64)
+        pm_fin, (dw0, dw1) = jax.lax.scan(step, pm0, inputs)  # (L, n_win)
 
-        # traceback from the best final state
-        s_end = jnp.argmin(pm_fin, axis=-1).astype(jnp.int32)  # (n_win,)
+        # traceback from the best final state; decision lookup is a pair of
+        # variable shifts on the packed words (again no gathers)
+        s_end = jnp.argmin(pm_fin, axis=-1).astype(jnp.uint32)  # (n_win,)
 
         def tb(s, dec_t):
+            w0, w1 = dec_t
             bit = (s >> 5).astype(jnp.uint8)
-            d = dec_t[jnp.arange(n_win), s]
-            s_prev = ((s & 31) << 1) | d.astype(jnp.int32)
-            return s_prev, bit
+            d = jnp.where(s < 32, (w0 >> s) & 1, (w1 >> (s - 32)) & 1)
+            s_prev = ((s & 31) << 1) | d
+            return s_prev.astype(jnp.uint32), bit
 
-        _, bits_rev = jax.lax.scan(tb, s_end, decs, reverse=True)
+        _, bits_rev = jax.lax.scan(tb, s_end, (dw0, dw1), reverse=True)
         bits_all = bits_rev  # (L, n_win): bit at step t of each window
         body_bits = bits_all[overlap: overlap + body]  # (body, n_win)
         out = body_bits.T.reshape(-1)[:n_bits].astype(jnp.uint8)
