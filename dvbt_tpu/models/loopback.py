@@ -1,0 +1,125 @@
+"""Streaming receiver: host-side lock FSM over the jitted sync/track/rx ops.
+
+Reference behavior: the lock/re-acquire state machine of
+`lib/ofdm_sym_acquisition_impl.cc` plus the sync-search of
+`demod_reference_signals` (SURVEY.md R1/R3, §5.3 "signal-level fault
+tolerance") [unverified — mount empty].
+
+TPU-native design (SURVEY.md §7 design stance): all per-sample work happens
+in three jitted programs — `sync` (full search, run only when unlocked),
+`track` (cheap derotation, locked steady state) and `rx` (the symbol-aligned
+chain).  The FSM itself is a few dozen lines of host Python that moves a
+stream offset forward and watches the RS uncorrectable counter to decide
+when lock is lost; this mirrors the reference's acquisition FSM but at
+super-block granularity instead of per-sample.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..mode import SYMBOLS_PER_FRAME, DvbtMode
+from ..ops import sync as syncop
+from . import rx as rxm
+
+
+@dataclasses.dataclass
+class StreamReport:
+    """One decoded block: packets + the metrics of SURVEY.md §5.5."""
+    packets: np.ndarray          # uint8 (P, 188)
+    stream_offset: int           # sample index of the block start
+    reacquired: bool
+    rs_corrected: np.ndarray
+    rs_uncorrectable: np.ndarray
+    info: dict                   # sync estimates (only fresh on reacquire)
+
+
+class StreamingReceiver:
+    """Feed raw baseband samples in arbitrary chunks; get decoded TS blocks.
+
+    Not jitted itself — this is the thin host FSM; all math is in the three
+    compiled programs it drives.
+    """
+
+    def __init__(self, mode: DvbtMode, n_frames: int | None = None,
+                 max_int_cfo: int = syncop.DEFAULT_MAX_INT_CFO,
+                 relock_threshold: float = 0.5):
+        self.mode = mode
+        if n_frames is None:
+            n_frames = mode.frames_per_block
+        assert n_frames % mode.frames_per_block == 0
+        self.n_frames = n_frames
+        self.block_samples = n_frames * SYMBOLS_PER_FRAME * mode.symbol_len
+        self.capture_samples = syncop.min_capture_samples(mode, n_frames)
+        self.sync = syncop.make_synchronizer(
+            mode, self.capture_samples, n_frames, max_int_cfo=max_int_cfo)
+        self.track = syncop.make_tracker(mode, n_frames)
+        self.rx, self.n_packets, _ = rxm.make_receiver(mode, n_frames)
+        self.relock_threshold = relock_threshold
+        self._buf = np.zeros((0,), np.complex64)
+        self._stream_pos = 0      # absolute sample index of _buf[0]
+        self.locked = False
+        self.cfo_frac = jnp.float32(0.0)
+        self.cfo_int = jnp.int32(0)
+        self.phase = jnp.float32(0.0)
+        self.rx_state = rxm.init_rx_state(mode)
+        self.last_info: dict = {}
+
+    def _need(self) -> int:
+        return self.block_samples if self.locked else self.capture_samples
+
+    def feed(self, samples: np.ndarray) -> list[StreamReport]:
+        """Append samples; decode as many blocks as the buffer allows."""
+        self._buf = np.concatenate([self._buf,
+                                    np.asarray(samples, np.complex64)])
+        out = []
+        while len(self._buf) >= self._need():
+            out.append(self._step())
+        return out
+
+    def _consume(self, n: int):
+        self._buf = self._buf[n:]
+        self._stream_pos += n
+
+    def _step(self) -> StreamReport:
+        reacq = not self.locked
+        if self.locked:
+            iq = jnp.asarray(self._buf[: self.block_samples])
+            aligned, self.phase = self.track(
+                iq, self.cfo_frac, self.cfo_int, self.phase)
+            block_off = self._stream_pos
+            self._consume(self.block_samples)
+        else:
+            capture = jnp.asarray(self._buf[: self.capture_samples])
+            aligned, info = self.sync(capture)
+            self.cfo_frac = info["cfo_frac"]
+            self.cfo_int = info["cfo_int"]
+            start = int(info["start"])
+            self.last_info = {k: np.asarray(v) for k, v in info.items()}
+            # resume the NCO where the sync block's derotation ended
+            cfo = float(self.cfo_frac) + float(self.cfo_int)
+            end = start + self.block_samples
+            self.phase = jnp.float32(
+                (-2.0 * np.pi * cfo * end / self.mode.fft_len)
+                % (2.0 * np.pi))
+            block_off = self._stream_pos + start
+            self._consume(end)
+            self.rx_state = rxm.init_rx_state(self.mode)
+            self.locked = True
+
+        self.rx_state, ts, metrics = self.rx(self.rx_state, aligned)
+        bad = np.asarray(metrics["rs_uncorrectable"])
+        if not reacq and bad.mean() > self.relock_threshold:
+            self.locked = False  # lock lost: next block does a full search
+        return StreamReport(
+            packets=np.asarray(ts),
+            stream_offset=block_off,
+            reacquired=reacq,
+            rs_corrected=np.asarray(metrics["rs_corrected"]),
+            rs_uncorrectable=bad,
+            info=self.last_info,
+        )

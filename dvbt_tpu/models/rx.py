@@ -104,11 +104,15 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         phase = jnp.where(state["descr_locked"], state["descr_phase"],
                           detected)
         new_phase, ts = descramble(phase, msg)
+        # only latch the group phase once the detection is credible (mostly
+        # correctable packets) — a garbage block after (re)acquisition must
+        # not freeze a phase guessed from noise (SURVEY.md §5.3 resync)
+        credible = jnp.mean(rs_bad.astype(jnp.float32)) < 0.5
         new_state = {
             "deint_tail": tail,
             "viterbi": vstate,
             "descr_phase": new_phase,
-            "descr_locked": jnp.asarray(True),
+            "descr_locked": state["descr_locked"] | credible,
         }
         metrics = {
             "rs_corrected": rs_corr,
