@@ -44,10 +44,27 @@ def init_rx_state(mode: DvbtMode,
     }
 
 
+def _pick_viterbi(impl: str):
+    """'auto' uses the Pallas TPU kernel off-CPU, the jnp scan on CPU."""
+    if impl == "auto":
+        import os
+        impl = os.environ.get("DVBT_VITERBI", "")
+        if not impl:
+            impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from ..kernels import viterbi_pallas
+        return lambda n_bits, body, overlap: \
+            viterbi_pallas.make_viterbi_decoder(
+                n_bits, body=None, overlap=overlap)
+    return lambda n_bits, body, overlap: \
+        viterbi.make_viterbi_decoder(n_bits, body=body, overlap=overlap)
+
+
 def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                   equalize: bool = True,
                   viterbi_body: int = viterbi.DEFAULT_BODY,
-                  viterbi_overlap: int = viterbi.DEFAULT_OVERLAP):
+                  viterbi_overlap: int = viterbi.DEFAULT_OVERLAP,
+                  viterbi_impl: str = "auto"):
     """Returns (rx, n_packets, n_samples).
 
     rx(state, iq): complex64 (n_samples,) symbol-aligned baseband ->
@@ -74,8 +91,8 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         mode, SYMBOLS_PER_FRAME, deinterleave=True)
     bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
     depunct = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
-    vit = viterbi.make_viterbi_decoder(n_info_bits, body=viterbi_body,
-                                       overlap=viterbi_overlap)
+    vit = _pick_viterbi(viterbi_impl)(n_info_bits, viterbi_body,
+                                      viterbi_overlap)
     out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
     rs_dec = reed_solomon.make_rs_decoder()
     descramble = energy.make_energy_dispersal(n_packets)

@@ -77,20 +77,23 @@ def make_depuncture(n_info_bits: int, rate: str):
     assert n_info_bits % period == 0
     n_blk = n_info_bits // period
     n_keep = len(order)
-    # per-period known masks + inverse ranks (tiny constants; tiled on device)
+    # per-period known masks + inverse ranks (tiny constants)
     known_np = np.zeros(2 * period, dtype=np.uint8)
     known_np[np.asarray(order)] = 1
-    rank_np = np.zeros(2 * period, dtype=np.int32)
-    rank_np[np.asarray(order)] = np.arange(n_keep, dtype=np.int32)
+    rank_np = np.full(2 * period, -1, dtype=np.int64)
+    rank_np[np.asarray(order)] = np.arange(n_keep)
 
     def depuncture(coded: jnp.ndarray):
-        # gather formulation (a scatter here costs minutes of TPU compile):
-        # mother position p = blk*2*period + r reads coded[blk*n_keep+rank[r]]
-        src = (jnp.arange(n_blk, dtype=jnp.int32)[:, None] * n_keep
-               + jnp.asarray(rank_np)[None, :]).reshape(-1)
-        full = coded[..., src] * jnp.tile(
-            jnp.asarray(known_np), n_blk).astype(coded.dtype)
-        x, y = full[..., 0::2], full[..., 1::2]
+        # column-slice formulation: any gather/scatter over the 2*n_info
+        # stream is catastrophically slow on TPU (tens of ms + minutes of
+        # compile); the pattern is periodic, so reshape to (n_blk, n_keep)
+        # and rebuild the mother columns from static strided slices.
+        c = coded.reshape(*coded.shape[:-1], n_blk, n_keep)
+        zeros = jnp.zeros(c.shape[:-1], coded.dtype)
+        cols = [zeros if rank_np[r] < 0 else c[..., rank_np[r]]
+                for r in range(2 * period)]
+        x = jnp.stack(cols[0::2], axis=-1).reshape(*coded.shape[:-1], -1)
+        y = jnp.stack(cols[1::2], axis=-1).reshape(*coded.shape[:-1], -1)
         kx = jnp.tile(jnp.asarray(known_np[0::2]), n_blk)
         ky = jnp.tile(jnp.asarray(known_np[1::2]), n_blk)
         return x, y, kx, ky

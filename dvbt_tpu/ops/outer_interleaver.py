@@ -24,16 +24,31 @@ TAIL = (OUTER_I - 1) * RS_PACKET  # 2244 bytes of carried history
 
 
 def _make(n_bytes: int, deinterleave: bool):
+    assert n_bytes % OUTER_I == 0
+    n_rows = n_bytes // OUTER_I
+
     def apply(tail: jnp.ndarray, x: jnp.ndarray):
-        """tail uint8 (2244,), x uint8 (n_bytes,) -> (tail', y)."""
-        # gather index computed from iota on device: multi-MB constant index
-        # arrays embedded in the HLO make the TPU compiler crawl
-        i = jnp.arange(n_bytes, dtype=jnp.int32)
-        j = i % OUTER_I
-        d = (OUTER_I - 1 - j) if deinterleave else j
-        src = i - d * RS_PACKET + TAIL
+        """tail uint8 (2244,), x uint8 (n_bytes,) -> (tail', y).
+
+        Gather-free: byte i reads buf[i - d(i%12)*204 + TAIL]; per residue
+        class r the source positions are an arithmetic stride-12 sequence, so
+        the whole op is 12 shifted reshape-column views stacked back together
+        (pure layout ops — a 200k-element gather costs ~1 ms on TPU, this
+        costs HBM-copy time).
+        """
         buf = jnp.concatenate([tail, x], axis=-1)
-        return buf[..., -TAIL:], buf[..., src]
+        # pad so every shifted view is full length (the pad bytes only land
+        # in the discarded columns 1..11 of the reshape)
+        bufp = jnp.concatenate(
+            [buf, jnp.zeros(x.shape[:-1] + (OUTER_I,), x.dtype)], axis=-1)
+        cols = []
+        for r in range(OUTER_I):
+            d = (OUTER_I - 1 - r) if deinterleave else r
+            s = TAIL + r - d * RS_PACKET
+            cols.append(bufp[..., s: s + n_bytes]
+                        .reshape(*x.shape[:-1], n_rows, OUTER_I)[..., 0])
+        y = jnp.stack(cols, axis=-1).reshape(*x.shape[:-1], n_bytes)
+        return buf[..., -TAIL:], y
 
     return jax.jit(apply)
 

@@ -1,0 +1,75 @@
+"""Pallas Viterbi kernel parity vs the pure-jnp reference implementation
+(SURVEY.md §7 step 6: every Pallas kernel ships with an interpret-mode
+parity test)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dvbt_tpu import tables
+from dvbt_tpu.kernels import viterbi_pallas as vp
+from dvbt_tpu.ops import inner_coder, viterbi as vj
+
+
+def test_branch_output_bit_math_matches_tables():
+    t = tables.viterbi_tables()
+    s = np.arange(64)
+    for d in (0, 1):
+        v = (s << 1) | d
+        def par(x):
+            p = x ^ (x >> 4); p ^= p >> 2; p ^= p >> 1
+            return p & 1
+        assert np.array_equal(par(v & vp.G1), t["pred_out_x"][:, d])
+        assert np.array_equal(par(v & vp.G2), t["pred_out_y"][:, d])
+
+
+def _encode(bits, rate, n_bits):
+    coder = inner_coder.make_inner_coder(n_bits, rate)
+    _, coded = coder(inner_coder.init_state(), jnp.asarray(bits))
+    depunct = inner_coder.make_depuncture(n_bits, rate)
+    return depunct(coded)
+
+
+@pytest.mark.parametrize("rate,n_bits,flips", [
+    ("1/2", 4096, 0),
+    ("2/3", 6144, 40),
+    ("7/8", 7168, 10),
+])
+def test_pallas_matches_jnp_blocks(rate, n_bits, flips):
+    rng = np.random.default_rng(1)
+    bits = rng.integers(0, 2, size=2 * n_bits, dtype=np.uint8)
+    dec_j = vj.make_viterbi_decoder(n_bits, body=512, overlap=96)
+    dec_p = vp.make_viterbi_decoder(n_bits, body=512, overlap=96,
+                                    interpret=True)
+    sj = vj.init_state(96)
+    sp = vp.init_state(96)
+    for blk in range(2):
+        x, y, xm, ym = _encode(bits[blk * n_bits:(blk + 1) * n_bits],
+                               rate, n_bits)
+        x, y = np.array(x), np.array(y)
+        if flips:
+            pos = rng.choice(n_bits, flips, replace=False)
+            x[pos] ^= 1
+            pos = rng.choice(n_bits, flips, replace=False)
+            y[pos] ^= 1
+        xm = np.broadcast_to(np.asarray(xm), x.shape).astype(np.uint8)
+        ym = np.broadcast_to(np.asarray(ym), y.shape).astype(np.uint8)
+        args = tuple(jnp.asarray(a) for a in (x, y, xm, ym))
+        sj, out_j = dec_j(sj, *args)
+        sp, out_p = dec_p(sp, *args)
+        assert np.array_equal(np.asarray(out_j), np.asarray(out_p)), blk
+        for k in sj:
+            assert np.array_equal(np.asarray(sj[k]), np.asarray(sp[k]))
+
+
+def test_pallas_decodes_noiseless_exactly():
+    rate, n_bits = "3/4", 6144
+    rng = np.random.default_rng(2)
+    bits = rng.integers(0, 2, size=n_bits, dtype=np.uint8)
+    x, y, xm, ym = _encode(bits, rate, n_bits)
+    xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+    ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+    dec = vp.make_viterbi_decoder(n_bits, body=1024, interpret=True)
+    _, out = dec(vp.init_state(), x, y, xm, ym)
+    assert np.array_equal(np.asarray(out), bits)
