@@ -18,8 +18,11 @@ S, K, P = 68, 6817, 6048
 rng = np.random.default_rng(0)
 idx4 = np.stack([np.sort(rng.choice(K, size=P, replace=False))
                  for _ in range(4)]).astype(np.int32)
-x = jnp.asarray(rng.standard_normal((S, K)) + 1j * rng.standard_normal((S, K)),
-                jnp.complex64)
+# complex64 host->device transfer is UNIMPLEMENTED on the axon tunnel (and
+# poisons the stream for later transfers) — combine on device instead
+_mk = jax.jit(lambda a, b: (a + 1j * b).astype(jnp.complex64))
+x = _mk(jnp.asarray(rng.standard_normal((S, K)), jnp.float32),
+        jnp.asarray(rng.standard_normal((S, K)), jnp.float32))
 
 idx68 = np.tile(idx4, (17, 1))  # (68, P)
 

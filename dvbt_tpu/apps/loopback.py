@@ -42,16 +42,17 @@ def main(argv=None) -> int:
     t0 = time.time()
     for b in range(a.blocks):
         state, iq = tx(state, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
-        chunks.append(np.asarray(iq))
+        chunks.append(tsio.device_get_complex(iq))
     stream = np.concatenate(chunks)
     tx_s = time.time() - t0
 
-    if a.cfo:
-        stream = np.asarray(channel.apply_cfo(jnp.asarray(stream), a.cfo,
-                                              mode.fft_len))
-    if a.snr is not None:
-        stream = np.asarray(channel.awgn(jax.random.PRNGKey(a.seed),
-                                         jnp.asarray(stream), a.snr))
+    if a.cfo or a.snr is not None:
+        dev = tsio.device_put_complex(stream)
+        if a.cfo:
+            dev = channel.apply_cfo(dev, a.cfo, mode.fft_len)
+        if a.snr is not None:
+            dev = channel.awgn(jax.random.PRNGKey(a.seed), dev, a.snr)
+        stream = tsio.device_get_complex(dev)
     stream = stream[a.offset:]
 
     srx = StreamingReceiver(mode)

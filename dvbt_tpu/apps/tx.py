@@ -52,7 +52,7 @@ def main(argv=None) -> int:
     with open(a.outfile, "wb") as f:
         for b in range(n_blocks):
             state, iq = tx(state, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
-            np.asarray(iq).astype(np.complex64).tofile(f)
+            tsio.device_get_complex(iq).tofile(f)
     dt = time.time() - t0
     total = n_blocks * n_samp
     print(f"tx: {n_blocks} blocks, {n_blocks * n_pk} packets, "

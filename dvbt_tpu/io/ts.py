@@ -41,3 +41,30 @@ def read_ts_file(path: str) -> np.ndarray:
 
 def write_ts_file(path: str, packets: np.ndarray) -> None:
     np.asarray(packets, dtype=np.uint8).tofile(path)
+
+
+def device_put_complex(arr: np.ndarray):
+    """Host complex64 -> device complex64 via a float32 pair.
+
+    Direct complex64 transfers are UNIMPLEMENTED on some PJRT backends (the
+    axon TPU tunnel) and wedge the transfer stream; going through float32
+    works everywhere.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    a = np.ascontiguousarray(np.asarray(arr, np.complex64)).view(np.float32)
+    a = a.reshape(*arr.shape, 2)
+    return jax.jit(
+        lambda p: (p[..., 0] + 1j * p[..., 1]).astype(jnp.complex64)
+    )(jnp.asarray(a))
+
+
+def device_get_complex(arr) -> np.ndarray:
+    """Device complex64 -> host complex64 via a float32 pair (see above)."""
+    import jax.numpy as jnp
+    import jax
+
+    p = jax.jit(lambda c: jnp.stack([c.real, c.imag], axis=-1))(arr)
+    out = np.asarray(p, np.float32)
+    return out.view(np.complex64).reshape(arr.shape)

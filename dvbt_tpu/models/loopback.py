@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mode import SYMBOLS_PER_FRAME, DvbtMode
+from ..io import ts as tsio
 from ..ops import sync as syncop
 from . import rx as rxm
 
@@ -88,13 +89,13 @@ class StreamingReceiver:
     def _step(self) -> StreamReport:
         reacq = not self.locked
         if self.locked:
-            iq = jnp.asarray(self._buf[: self.block_samples])
+            iq = tsio.device_put_complex(self._buf[: self.block_samples])
             aligned, self.phase = self.track(
                 iq, self.cfo_frac, self.cfo_int, self.phase)
             block_off = self._stream_pos
             self._consume(self.block_samples)
         else:
-            capture = jnp.asarray(self._buf[: self.capture_samples])
+            capture = tsio.device_put_complex(self._buf[: self.capture_samples])
             aligned, info = self.sync(capture)
             self.cfo_frac = info["cfo_frac"]
             self.cfo_int = info["cfo_int"]

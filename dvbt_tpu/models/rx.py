@@ -84,11 +84,9 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
 
     demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
     chan_est = reference_signals.make_channel_estimator(mode)
-    extract = reference_signals.make_payload_extractor(mode)
+    cell_dilv = reference_signals.make_cell_deinterleaver(mode)  # R3+R5 fused
     tps_dec = reference_signals.make_tps_decoder(mode)
     qdemap = mapper.make_demapper(mode)
-    sym_dilv = symbol_interleaver.make_symbol_interleaver(
-        mode, SYMBOLS_PER_FRAME, deinterleave=True)
     bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
     depunct = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
     vit = _pick_viterbi(viterbi_impl)(n_info_bits, viterbi_body,
@@ -106,8 +104,9 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         else:
             X = carriers
         tps_bits, tps_frame = tps_dec(X)
-        cells = qdemap(extract(X))                     # (F, 68, C)
-        cells = sym_dilv(cells)
+        # demap everything (elementwise; pilot columns are don't-cares),
+        # then extract+symbol-deinterleave as one fused row-take permutation
+        cells = cell_dilv(qdemap(X))                   # (F, 68, C)
         bits = bit_dilv(cells).reshape(-1)             # (n_coded_bits,)
         x, y, xm, ym = depunct(bits)
         xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)

@@ -60,9 +60,8 @@ def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
     out_ilv = outer_interleaver.make_outer_interleaver(n_bytes)
     coder = inner_coder.make_inner_coder(n_info_bits, mode.code_rate)
     bit_ilv = bit_interleaver.make_bit_interleaver(mode)
-    sym_ilv = symbol_interleaver.make_symbol_interleaver(mode, SYMBOLS_PER_FRAME)
     qmap = mapper.make_mapper(mode)
-    adapter = reference_signals.make_frame_adapter(mode)
+    builder = reference_signals.make_frame_builder(mode)  # sym_ilv + T8 fused
     modulator = ofdm.make_ofdm_modulator(mode)
     n_samples = n_sym * mode.symbol_len
 
@@ -76,10 +75,9 @@ def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
         per_sym = coded_bits.reshape(n_frames, SYMBOLS_PER_FRAME,
                                      mode.n_payload * mode.v)
         cells = bit_ilv(per_sym)                      # (F, 68, C)
-        cells = sym_ilv(cells)
         points = qmap(cells)                          # (F, 68, C) complex
         fidx = state["frame_idx"] + jnp.arange(n_frames, dtype=jnp.int32)
-        carriers = jax.vmap(adapter)(fidx, points)    # (F, 68, K)
+        carriers = jax.vmap(builder)(fidx, points)    # (F, 68, K)
         iq = modulator(carriers).reshape(-1)
         new_state = {
             "dispersal_phase": phase,

@@ -14,11 +14,13 @@ TPU-native design (NOT a translation of the byte-serial LFSR/BM C++):
 * Berlekamp-Massey: fixed 16-iteration masked form (data-dependent branches
   become jnp.where lane masks), batched over codewords — SURVEY.md §7 hard
   part 3.
-* Chien + Forney: dense evaluation over all 204 positions via precomputed
-  power tables and log/exp gathers.
+* Chien + Forney: dense evaluation over all 204 positions as ONE mod-2
+  matmul each (evaluation at fixed points is GF(2)-linear in the coefficient
+  bits); Forney's division via bit-sliced Frobenius inversion.
 
-GF(2^8) arithmetic on device uses int32 log/exp table gathers; the exp table
-is doubled (512) so products of logs never need mod 255.
+All on-device GF(2^8) arithmetic is bit-sliced GF(2) linear algebra (see the
+section below) — data-dependent log/exp table gathers are ~50 Melem/s on TPU
+and would dominate the whole receiver.
 """
 
 from __future__ import annotations
@@ -45,24 +47,6 @@ def _mod2_matmul(x_bits: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     return (acc.astype(jnp.int32) & 1).astype(jnp.uint8)
 
 
-def _device_tables():
-    # numpy constants; converted per use site so no tracer is ever cached
-    # (jnp constants are deduplicated by XLA during lowering anyway)
-    exp_np, log_np = tables.gf_tables()
-    return jnp.asarray(exp_np), jnp.asarray(log_np)  # created at trace time
-
-
-def _gmul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    exp, log = _device_tables()
-    out = exp[log[a] + log[b]]
-    return jnp.where((a == 0) | (b == 0), 0, out)
-
-
-def _ginv(a: jnp.ndarray) -> jnp.ndarray:
-    exp, log = _device_tables()
-    return exp[(255 - log[a]) % 255]
-
-
 def make_rs_encoder():
     """Returns encode(msg) : uint8 (..., P, 188) -> (..., P, 204)."""
     M = tables.rs_encode_bitmatrix()  # numpy
@@ -74,6 +58,93 @@ def make_rs_encoder():
         return jnp.concatenate([msg, parity], axis=-1)
 
     return jax.jit(encode)
+
+
+# --- bit-sliced GF(256) ------------------------------------------------------
+#
+# TPU has no fast data-dependent gather, so log/exp table lookups (the
+# reference's GF core, SURVEY.md S3) are replaced by GF(2) linear algebra:
+#   * mul by a CONSTANT is linear in the bits  -> (8, 8) matrix over GF(2)
+#   * squaring is linear (Frobenius)           -> one fixed (8, 8) matrix
+#   * general mul is bilinear                  -> (64, 8) matrix on the outer
+#     product of the bit vectors
+#   * inversion: x^254 = x^2 x^4 ... x^128     -> 7 squarings + 6 muls
+# and polynomial evaluations at fixed points (Chien / Forney numerator /
+# denominator) become ONE mod-2 matmul each on the MXU.  XOR == sum mod 2,
+# so every accumulation is an ordinary matmul followed by & 1.
+
+
+def _gf_mul_int(a: int, b: int) -> int:
+    exp_np, log_np = tables.gf_tables()
+    if a == 0 or b == 0:
+        return 0
+    return int(exp_np[int(log_np[a]) + int(log_np[b])])
+
+
+@functools.lru_cache(maxsize=None)
+def _bit_matrices():
+    """(SQ (8,8), BILIN (64,8)) uint8 over GF(2)."""
+    sq = np.zeros((8, 8), np.uint8)
+    bilin = np.zeros((8, 8, 8), np.uint8)
+    for i in range(8):
+        s = _gf_mul_int(1 << i, 1 << i)
+        sq[i] = [(s >> k) & 1 for k in range(8)]
+        for j in range(8):
+            p = _gf_mul_int(1 << i, 1 << j)
+            bilin[i, j] = [(p >> k) & 1 for k in range(8)]
+    return sq, bilin.reshape(64, 8)
+
+
+def _const_mul_matrix(c: int) -> np.ndarray:
+    """(8, 8) M with bits(x) @ M = bits(c * x)."""
+    m = np.zeros((8, 8), np.uint8)
+    for i in range(8):
+        p = _gf_mul_int(c, 1 << i)
+        m[i] = [(p >> k) & 1 for k in range(8)]
+    return m
+
+
+_SH8 = np.arange(8, dtype=np.int32)
+
+
+def _to_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """uint8/int32 bytes (...,) -> float32 bits (..., 8), LSB first."""
+    return ((x[..., None].astype(jnp.int32) >> _SH8) & 1).astype(jnp.float32)
+
+
+def _from_bits(b: jnp.ndarray) -> jnp.ndarray:
+    """float32/int32 bits (..., 8) -> int32 bytes (...,)."""
+    return (b.astype(jnp.int32) << _SH8).sum(axis=-1)
+
+
+def _mod2(x: jnp.ndarray) -> jnp.ndarray:
+    return (x.astype(jnp.int32) & 1).astype(jnp.float32)
+
+
+def _bitmul(a_bits: jnp.ndarray, b_bits: jnp.ndarray) -> jnp.ndarray:
+    """General GF(256) multiply on bit vectors: (..., 8) x (..., 8) -> (..., 8)."""
+    _, bilin = _bit_matrices()
+    shape = jnp.broadcast_shapes(a_bits.shape, b_bits.shape)
+    outer = (a_bits[..., :, None] * b_bits[..., None, :]).reshape(
+        *shape[:-1], 64)
+    return _mod2(jnp.dot(outer, jnp.asarray(bilin, jnp.float32),
+                         preferred_element_type=jnp.float32))
+
+
+def _bitsq(a_bits: jnp.ndarray) -> jnp.ndarray:
+    sq, _ = _bit_matrices()
+    return _mod2(jnp.dot(a_bits, jnp.asarray(sq, jnp.float32),
+                         preferred_element_type=jnp.float32))
+
+
+def _bitinv(a_bits: jnp.ndarray) -> jnp.ndarray:
+    """x^-1 = x^254 (maps 0 -> 0, which callers mask out)."""
+    s = a_bits
+    acc = None
+    for _ in range(7):
+        s = _bitsq(s)
+        acc = s if acc is None else _bitmul(acc, s)
+    return acc
 
 
 # --- decoder ---------------------------------------------------------------
@@ -107,53 +178,76 @@ def _chien_power_tables():
     return lam, omg, dlam, xk
 
 
-def _berlekamp_massey(S: jnp.ndarray):
-    """Batched fixed-iteration BM.  S: (..., 16) int32 -> Lambda (..., 9).
+def _shift1(p: jnp.ndarray) -> jnp.ndarray:
+    """Multiply a bit-sliced polynomial (..., deg, 8) by x (static shift)."""
+    z = jnp.zeros_like(p[..., :1, :])
+    return jnp.concatenate([z, p[..., :-1, :]], axis=-2)
 
-    Masked form of the textbook algorithm (16 iterations, no data-dependent
-    control flow) so it jits to straight-line code.
+
+def _berlekamp_massey_bits(S_bits: jnp.ndarray):
+    """Batched fixed-iteration BM, bit-sliced (no GF table gathers).
+
+    S_bits (..., 16, 8) -> (Lambda bits (..., 9, 8), L (...,)).
+
+    Instead of the textbook x^m * B shifted copy (a per-codeword dynamic
+    shift = gather), the carried B is maintained ALREADY multiplied by x^m:
+    every iteration shifts it once; a growth step restarts it from x * C.
     """
-    batch = S.shape[:-1]
-    C = jnp.zeros(batch + (RS_T + 1,), jnp.int32).at[..., 0].set(1)
-    B = C
+    batch = S_bits.shape[:-2]
+    C = jnp.zeros(batch + (RS_T + 1, 8), jnp.float32).at[..., 0, 0].set(1)
+    Bm = jnp.zeros_like(C).at[..., 1, 0].set(1)    # x^1 * B, B = 1
+    binv = jnp.zeros(batch + (8,), jnp.float32).at[..., 0].set(1)  # 1/b, b=1
     L = jnp.zeros(batch, jnp.int32)
-    m = jnp.ones(batch, jnp.int32)
-    b = jnp.ones(batch, jnp.int32)
-
-    ks = jnp.arange(RS_T + 1)
+    zpad = jnp.zeros(batch + (RS_T, 8), jnp.float32)
+    Spad = jnp.concatenate([zpad, S_bits], axis=-2)  # Spad[8 + t] = S_t
+    Crev_axis = -2
 
     def step(carry, n):
-        C, B, L, m, b = carry
-        # discrepancy d = xor_k C[k] * S[n-k]   (S index < 0 -> 0)
-        sidx = n - ks
-        svals = jnp.where(sidx >= 0, S[..., jnp.clip(sidx, 0)], 0)
-        terms = _gmul(C, svals)
-        d = terms[..., 0]
-        for k in range(1, RS_T + 1):
-            d = d ^ terms[..., k]
-        # shifted scaled copy: (d/b) * x^m * B
-        coef = _gmul(d, _ginv(b))
-        bidx = jnp.broadcast_to(ks, B.shape) - m[..., None]
-        Bs = jnp.where(
-            bidx >= 0,
-            jnp.take_along_axis(B, jnp.clip(bidx, 0), axis=-1),
-            0,
-        )
-        adj = _gmul(coef[..., None], Bs)
-        Cn = C ^ adj
-        d_zero = d == 0
+        C, Bm, binv, L = carry
+        win = jax.lax.dynamic_slice_in_dim(
+            Spad, n, RS_T + 1, axis=-2)               # S_{n-8} .. S_n
+        terms = _bitmul(jnp.flip(C, axis=Crev_axis), win)
+        d = _mod2(terms.sum(axis=-2))                 # XOR = sum mod 2
+        coef = _bitmul(d, binv)
+        Cn = _mod2(C + _bitmul(coef[..., None, :], Bm))
+        d_zero = d.sum(axis=-1) == 0
         grow = (~d_zero) & (2 * L <= n)
-        C_out = jnp.where(d_zero[..., None], C, Cn)
-        B_out = jnp.where(grow[..., None], C, B)
+        C_out = jnp.where(d_zero[..., None, None], C, Cn)
+        Bm_out = _shift1(jnp.where(grow[..., None, None], C, Bm))
+        binv_out = jnp.where(grow[..., None], _bitinv(d), binv)
         L_out = jnp.where(grow, n + 1 - L, L)
-        b_out = jnp.where(grow, d, b)
-        m_out = jnp.where(grow, 1, m + 1)
-        return (C_out, B_out, L_out, m_out, b_out), None
+        return (C_out, Bm_out, binv_out, L_out), None
 
-    (C, B, L, m, b), _ = jax.lax.scan(
-        step, (C, B, L, m, b), jnp.arange(2 * RS_T)
-    )
+    (C, Bm, binv, L), _ = jax.lax.scan(
+        step, (C, Bm, binv, L), jnp.arange(2 * RS_T))
     return C, L
+
+
+@functools.lru_cache(maxsize=None)
+def _eval_bitmatrices():
+    """Mod-2 evaluation matrices over all 204 positions (uint8 numpy):
+
+      M_lam (72, 1632):  bits(Lambda_0..8)     -> bits(Lambda(X_i^-1))
+      M_xom (64, 1632):  bits(Omega_0..7)      -> bits(X_i * Omega(X_i^-1))
+      M_dl  (32, 1632):  bits(Lambda_1,3,5,7)  -> bits(Lambda'(X_i^-1))
+
+    Each 8x8 block is the linear map 'multiply by the fixed point power'
+    (X_i factor folded into M_xom so Forney's numerator is one matmul).
+    """
+    lam_p, omg_p, dlam_p, xk = _chien_power_tables()
+    m_lam = np.zeros(((RS_T + 1) * 8, RS_N * 8), np.uint8)
+    m_xom = np.zeros((RS_T * 8, RS_N * 8), np.uint8)
+    m_dl = np.zeros((4 * 8, RS_N * 8), np.uint8)
+    for pos in range(RS_N):
+        c = slice(8 * pos, 8 * pos + 8)
+        for k in range(RS_T + 1):
+            m_lam[8 * k: 8 * k + 8, c] = _const_mul_matrix(int(lam_p[pos, k]))
+        for k in range(RS_T):
+            m_xom[8 * k: 8 * k + 8, c] = _const_mul_matrix(
+                _gf_mul_int(int(xk[pos]), int(omg_p[pos, k])))
+        for k in range(4):
+            m_dl[8 * k: 8 * k + 8, c] = _const_mul_matrix(int(dlam_p[pos, k]))
+    return m_lam, m_xom, m_dl
 
 
 def make_rs_decoder():
@@ -166,51 +260,47 @@ def make_rs_decoder():
     Observability outputs mirror SURVEY.md §5.5 (per-block counters).
     """
     Msyn_np = tables.rs_syndrome_bitmatrix()
-    lam_np, omg_np, dlam_np, xk_np = _chien_power_tables()
+    m_lam_np, m_xom_np, m_dl_np = _eval_bitmatrices()
+
+    def _evalmat(coef_bits: jnp.ndarray, m_np: np.ndarray) -> jnp.ndarray:
+        """bit-sliced coeffs (..., deg, 8) @ eval matrix -> (..., 204, 8)."""
+        flat = coef_bits.reshape(*coef_bits.shape[:-2], -1)
+        out = jnp.dot(flat, jnp.asarray(m_np, jnp.float32),
+                      preferred_element_type=jnp.float32)
+        return _mod2(out).reshape(*coef_bits.shape[:-2], RS_N, 8)
 
     def decode(cw: jnp.ndarray):
         Msyn = jnp.asarray(Msyn_np, jnp.bfloat16)
-        lam_p, omg_p = jnp.asarray(lam_np), jnp.asarray(omg_np)
-        dlam_p, xk = jnp.asarray(dlam_np), jnp.asarray(xk_np)
         cw_bits = bitutils.bytes_to_bits(cw)
         syn_bytes = bitutils.bits_to_bytes(_mod2_matmul(cw_bits, Msyn))
         S = syn_bytes.astype(jnp.int32)  # (..., 16), S[0]=r(alpha^0)
         no_err = jnp.all(S == 0, axis=-1)
+        S_bits = _to_bits(S)             # (..., 16, 8)
 
-        Lam, L = _berlekamp_massey(S)  # (..., 9), (...,)
+        Lam_bits, L = _berlekamp_massey_bits(S_bits)  # (..., 9, 8)
 
-        # Omega = S(x) * Lambda(x) mod x^8  (deg Omega < L <= 8)
-        def omega_coef(j):
-            acc = jnp.zeros_like(L)
-            for i in range(min(j, RS_T) + 1):
-                acc = acc ^ _gmul(Lam[..., i], S[..., j - i])
-            return acc
+        # Omega = S(x) * Lambda(x) mod x^8: 9 shifted bit-sliced muls
+        om = jnp.zeros(S_bits.shape[:-2] + (RS_T, 8), jnp.float32)
+        Shead = S_bits[..., :RS_T, :]
+        for i in range(RS_T + 1):
+            shifted = Shead if i == 0 else jnp.concatenate(
+                [jnp.zeros_like(Shead[..., :i, :]), Shead[..., :RS_T - i, :]],
+                axis=-2)
+            om = _mod2(om + _bitmul(Lam_bits[..., i: i + 1, :], shifted))
 
-        Om = jnp.stack([omega_coef(j) for j in range(RS_T)], axis=-1)
+        lam_at = _evalmat(Lam_bits, m_lam_np)          # (..., 204, 8)
+        xom_at = _evalmat(om, m_xom_np)
+        dl_at = _evalmat(Lam_bits[..., 1::2, :], m_dl_np)
 
-        # Chien: Lambda(X_i^{-1}) over all 204 positions
-        lam_eval = _gmul(Lam[..., None, :], lam_p)  # (..., 204, 9)
-        lam_at = lam_eval[..., 0]
-        for k in range(1, RS_T + 1):
-            lam_at = lam_at ^ lam_eval[..., k]
-        err_mask = lam_at == 0  # (..., 204)
-
-        # Forney: e_i = X_i * Omega(X_i^{-1}) / Lambda'(X_i^{-1})
-        om_eval = _gmul(Om[..., None, :], omg_p)
-        om_at = om_eval[..., 0]
-        for k in range(1, RS_T):
-            om_at = om_at ^ om_eval[..., k]
-        dcoef = Lam[..., 1::2]  # Lambda_1, Lambda_3, Lambda_5, Lambda_7
-        dl_eval = _gmul(dcoef[..., None, :], dlam_p)
-        dl_at = dl_eval[..., 0]
-        for k in range(1, 4):
-            dl_at = dl_at ^ dl_eval[..., k]
-
-        ev = _gmul(xk, _gmul(om_at, _ginv(jnp.where(dl_at == 0, 1, dl_at))))
-        ev = jnp.where(err_mask & (dl_at != 0), ev, 0)
+        err_mask = lam_at.sum(axis=-1) == 0            # Chien roots
+        dl_nz = dl_at.sum(axis=-1) > 0
+        ev_bits = _bitmul(xom_at, _bitinv(dl_at))      # Forney
+        ev = _from_bits(ev_bits)
+        ev = jnp.where(err_mask & dl_nz, ev, 0)
 
         corrected = cw.astype(jnp.int32) ^ ev
-        corrected = jnp.where(no_err[..., None], cw.astype(jnp.int32), corrected)
+        corrected = jnp.where(no_err[..., None], cw.astype(jnp.int32),
+                              corrected)
 
         n_roots = jnp.sum(err_mask.astype(jnp.int32), axis=-1)
         n_corr = jnp.where(no_err, 0, n_roots)

@@ -25,6 +25,7 @@ import numpy as np
 
 from .. import tables
 from ..mode import SYMBOLS_PER_FRAME, DvbtMode
+from . import permute
 
 PILOT_BOOST = 4.0 / 3.0  # scattered/continual pilot amplitude [EN300744 §4.5.2]
 
@@ -134,31 +135,76 @@ def make_channel_estimator(mode: DvbtMode):
 
     Returns estimate(Y): complex64 (..., 68, K) -> H (..., 68, K).
     Mirrors the reference's scattered-pilot divide + every-12th-carrier
-    linear interpolation (SURVEY.md R3).
+    linear interpolation (SURVEY.md R3).  All three permutations run as
+    phase-major row takes (ops.permute) — minor-axis gathers cost ~40x more
+    on TPU.
     """
     t = _frame_tables(mode)
-    sp_idx_np = t["sp_idx"]
     pilot_ref_np = t["pilot_ref"].astype(np.complex64)
-    left_slot_np = t["left_slot"]
     weight_np = t["weight"].astype(np.float32)
+    take_sp = permute.make_row_take4(t["sp_idx"])
+    take_hl = permute.make_row_take4(t["left_slot"])
+    take_hr = permute.make_row_take4(t["left_slot"] + 1)
 
     def estimate(Y: jnp.ndarray) -> jnp.ndarray:
-        sp_idx = _tile68(sp_idx_np)
-        left_slot = _tile68(left_slot_np)
         weight = _tile68(weight_np)
         pilot_ref = _tile68(pilot_ref_np)
-        Hp = jnp.take_along_axis(
-            Y, jnp.broadcast_to(sp_idx, Y.shape[:-2] + sp_idx.shape),
-            axis=-1) / pilot_ref
-        hl = jnp.take_along_axis(
-            Hp, jnp.broadcast_to(left_slot, Y.shape[:-2] + left_slot.shape),
-            axis=-1)
-        hr = jnp.take_along_axis(
-            Hp, jnp.broadcast_to(left_slot + 1,
-                                 Y.shape[:-2] + left_slot.shape), axis=-1)
+        Hp = take_sp(Y) / pilot_ref
+        hl, hr = take_hl(Hp), take_hr(Hp)
         return hl * (1.0 - weight) + hr * weight
 
     return jax.jit(estimate)
+
+
+def make_cell_deinterleaver(mode: DvbtMode):
+    """RX: payload extraction fused with the symbol deinterleaver (R3 + R5).
+
+    Returns f(cells): (..., 68, K) demapped cell values (pilot/TPS columns
+    are don't-cares) -> (..., 68, n_payload) in symbol-deinterleaved order.
+    Composing the two static maps removes one full-size permutation and the
+    downstream chain never sees pilot columns.
+    """
+    from . import symbol_interleaver as si
+    t = _frame_tables(mode)
+    pair = si._perm_pair(mode, deinterleave=True)       # (2, P)
+    idx = np.stack([t["data_idx"][p][pair[p % 2]] for p in range(4)])
+    return jax.jit(permute.make_row_take4(idx))
+
+
+def make_frame_builder(mode: DvbtMode):
+    """TX: symbol interleaver + QAM map placement + frame adaptation fused
+    (T6 + T8).  Returns build(frame_idx, points) with points complex64
+    (..., 68, n_payload) in PRE-symbol-interleave order -> (..., 68, K).
+    """
+    from . import symbol_interleaver as si
+    t = _frame_tables(mode)
+    pair = si._perm_pair(mode, deinterleave=False)      # (2, P) tx gathers
+    K = mode.n_carriers
+    # carrier k of symbol-phase p reads points[:, TX_IDX[p, k]] when a data
+    # cell, else the pilot template.  inv_data[p, data_idx[p, j]] = j.
+    tx_idx = np.zeros((4, K), np.int32)
+    is_data = np.zeros((4, K), bool)
+    for p in range(4):
+        inv = np.zeros(K, np.int64)
+        inv[t["data_idx"][p]] = np.arange(mode.n_payload)
+        is_data[p, t["data_idx"][p]] = True
+        tx_idx[p] = pair[p % 2][inv]                     # valid where is_data
+    take_tx = permute.make_row_take4(tx_idx)
+    pilot_rows_np = t["pilot_rows"].astype(np.complex64)
+    mask_np = is_data
+    tp = t["tp"].astype(np.int32)
+    tps_cells_np = t["tps_cells"].astype(np.complex64)
+
+    def build(frame_idx: jnp.ndarray, points: jnp.ndarray) -> jnp.ndarray:
+        placed = take_tx(points)                         # (..., 68, K)
+        mask = _tile68(mask_np)
+        pilots = _tile68(pilot_rows_np)
+        out = jnp.where(mask, placed, pilots)
+        tps_cells = jnp.asarray(tps_cells_np)[frame_idx % 4]  # (..., 68, ntps)
+        out = out.at[..., jnp.asarray(tp)].set(tps_cells)
+        return out
+
+    return jax.jit(build)
 
 
 def make_payload_extractor(mode: DvbtMode):
