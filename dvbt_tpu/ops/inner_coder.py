@@ -56,11 +56,15 @@ def make_inner_coder(n_bits: int, rate: str):
 
     def apply(state: jnp.ndarray, b: jnp.ndarray):
         state, x, y = _encode_mother(state, b)
-        xy = jnp.stack([x, y], axis=-1).reshape(*b.shape[:-1], 2 * n_bits)
-        # periodic keep-index computed on device (tiny `order` constant)
-        keep = (jnp.arange(n_blk, dtype=jnp.int32)[:, None] * (2 * period)
-                + jnp.asarray(order)[None, :]).reshape(-1)
-        return state, xy[..., keep]
+        # periodic puncture as static column slices (a 2*n_bits gather costs
+        # ~20 ms on TPU; this is pure layout work).  Serial position o reads
+        # x bit o//2 when o is even, else y bit o//2.
+        xb = x.reshape(*b.shape[:-1], n_blk, period)
+        yb = y.reshape(*b.shape[:-1], n_blk, period)
+        cols = [xb[..., o // 2] if o % 2 == 0 else yb[..., o // 2]
+                for o in order]
+        coded = jnp.stack(cols, axis=-1).reshape(*b.shape[:-1], -1)
+        return state, coded
 
     return jax.jit(apply)
 

@@ -23,11 +23,46 @@ from ..mode import DvbtMode
 
 
 def make_mapper(mode: DvbtMode):
-    table = mode.constellation_table().astype(np.complex64)
+    """Mapping as two tiny one-hot f32 matmuls (I and Q separately).
 
-    def qam_map(cells: jnp.ndarray) -> jnp.ndarray:
+    DVB-T constellations are separable: the I coordinate depends only on the
+    even-position bits and Q on the odd ones [EN300744 Fig 9], so the 2^v
+    table splits into two 2^(v/2) level tables — a 64-entry table gather on
+    411k cells costs ~4.5 ms on TPU, the matmuls are ~0.1 ms.
+    """
+    table = mode.constellation_table().astype(np.complex64)
+    v = mode.v
+    h = v // 2
+    # split cell -> (i_idx, q_idx): i bits are y0,y2,... (MSB first)
+    cells = np.arange(2 ** v)
+    i_idx = np.zeros(2 ** v, np.int64)
+    q_idx = np.zeros(2 ** v, np.int64)
+    for b in range(h):
+        i_idx |= ((cells >> (v - 1 - 2 * b)) & 1) << (h - 1 - b)
+        q_idx |= ((cells >> (v - 2 - 2 * b)) & 1) << (h - 1 - b)
+    i_levels = np.zeros(2 ** h, np.float32)
+    q_levels = np.zeros(2 ** h, np.float32)
+    i_levels[i_idx] = table.real
+    q_levels[q_idx] = table.imag
+    sep = (np.allclose(i_levels[i_idx], table.real)
+           and np.allclose(q_levels[q_idx], table.imag))
+    assert sep, "constellation not separable?"
+
+    def qam_map(cells_in: jnp.ndarray) -> jnp.ndarray:
         """int32 cells (...,) -> complex64 points (...,)."""
-        return jnp.asarray(table)[cells]
+        c = cells_in.astype(jnp.int32)
+        ii = jnp.zeros_like(c)
+        qq = jnp.zeros_like(c)
+        for b in range(h):
+            ii = ii | (((c >> (v - 1 - 2 * b)) & 1) << (h - 1 - b))
+            qq = qq | (((c >> (v - 2 - 2 * b)) & 1) << (h - 1 - b))
+        oh_i = (ii[..., None] == jnp.arange(2 ** h)).astype(jnp.float32)
+        oh_q = (qq[..., None] == jnp.arange(2 ** h)).astype(jnp.float32)
+        re = jnp.dot(oh_i, jnp.asarray(i_levels),
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(oh_q, jnp.asarray(q_levels),
+                     preferred_element_type=jnp.float32)
+        return (re + 1j * im).astype(jnp.complex64)
 
     return jax.jit(qam_map)
 

@@ -1,0 +1,226 @@
+"""Time-axis (sequence) parallelism: one DVB-T stream sharded over chips.
+
+The reference streams one signal through pipelined threads (SURVEY.md §2.4);
+the TPU-native analog shards the TIME axis: chip d processes super-block
+s*D + d.  The streaming chain is stateful (interleaver tails, coder bits,
+Viterbi warmup, scrambler phase — SURVEY.md §5.4), which would serialize the
+chips, so state is NOT passed along the chain: every piece of carried state
+is *recomputed from a bounded halo* of the neighbor's data (overlap-save,
+SURVEY.md §5.7):
+
+  TX state from a 12-packet halo:
+    * dispersal phase / frame index — pure functions of the block index
+    * outer-interleaver tail        — last 2244 bytes of the re-encoded halo
+    * coder bit state               — last 6 bits of the halo's interleaved
+                                      stream (deepest branch reaches back
+                                      2245 bytes, hence 12 packets)
+  RX state from an H-symbol sample halo (H = enough symbols to cover the
+  2244-byte deinterleaver tail + Viterbi warmup; 1 symbol at the 8K UK
+  profile, 13 at 2K QPSK 1/2):
+    * decode the halo symbols with a cold Viterbi (its first ~K*5 bits of
+      garbage die out long before the tail we keep)
+    * deinterleaver tail = last 2244 decoded bytes; Viterbi warmup = last
+      `overlap` depunctured mother bits; scrambler phase — analytic
+
+  The halos themselves ride the ICI ring via `jax.lax.ppermute` inside
+  `shard_map`; the d=0 chip's halo is the host-carried tail of the previous
+  step.  Result: byte-identical to the single-chip streaming receiver
+  (tests/test_time_sharding.py), with zero sequential dependence inside a
+  step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..mode import RS_PACKET, SYMBOLS_PER_FRAME, DvbtMode
+from ..ops import (bit_interleaver, energy, inner_coder, mapper, ofdm,
+                   outer_interleaver, reed_solomon, reference_signals,
+                   symbol_interleaver, viterbi)
+from ..utils import bits as bitutils
+from ..models import rx as rxm, tx as txm
+
+HALO_PACKETS = 12  # > (2244 + 1) / 204
+
+
+def _info_bits_per_symbol(mode: DvbtMode) -> int:
+    num, den = (int(x) for x in mode.code_rate.split("/"))
+    return mode.n_payload * mode.v * num // den
+
+
+def rx_halo_symbols(mode: DvbtMode) -> int:
+    """Symbols needed to recompute the RX byte-domain carried state:
+    2244 deinterleaver-tail bytes + Viterbi cold-start slack."""
+    need_bits = (outer_interleaver.TAIL + 64) * 8 + viterbi.DEFAULT_OVERLAP
+    h = -(-need_bits // _info_bits_per_symbol(mode))
+    assert h < SYMBOLS_PER_FRAME
+    return h
+
+
+def make_tx_state_from_halo(mode: DvbtMode):
+    """f(block_idx, halo_packets (12, 188)) -> TX carried-state pytree
+    equal to what streaming TX would carry into that block."""
+    n_halo_bytes = HALO_PACKETS * RS_PACKET
+    rs_enc = reed_solomon.make_rs_encoder()
+
+    def recompute(block_idx: jnp.ndarray, halo: jnp.ndarray) -> dict:
+        p_blk = mode.packets_per_block
+        first_pk = block_idx * p_blk
+        phase0 = (first_pk - HALO_PACKETS) % 8
+        _, randomized = energy.make_energy_dispersal(HALO_PACKETS)(
+            phase0, halo)
+        stream = rs_enc(randomized).reshape(-1)        # (2448,)
+        tail = stream[-outer_interleaver.TAIL:]
+        # interleaved byte at global position G-1 (G = block start):
+        # j = (G-1) % 12, src = (G-1) - j*204 relative to stream end
+        g1 = first_pk * RS_PACKET - 1
+        j = g1 % 12
+        src = n_halo_bytes - 1 - j * RS_PACKET         # offset into stream
+        last_byte = stream[src]
+        coder_state = ((last_byte[None] >> jnp.arange(5, -1, -1)) & 1
+                       ).astype(jnp.uint8)
+        return {
+            "dispersal_phase": (first_pk % 8).astype(jnp.int32),
+            "outer_tail": tail,
+            "coder_state": coder_state,
+            "frame_idx": ((block_idx * mode.frames_per_block) % 4
+                          ).astype(jnp.int32),
+        }
+
+    return recompute
+
+
+def make_rx_state_from_halo(mode: DvbtMode):
+    """f(block_idx, halo_iq (H * symbol_len,)) -> RX carried-state pytree
+    equal to the streaming receiver's state entering that block.
+
+    halo_iq are the LAST H symbol periods of the previous block (symbol-
+    aligned, equalizable); block_idx = 0 means stream start (zero state).
+    """
+    H = rx_halo_symbols(mode)
+    L = mode.symbol_len
+    n_blk_sym = mode.frames_per_block * SYMBOLS_PER_FRAME
+    n_info = H * _info_bits_per_symbol(mode)
+    ov = viterbi.DEFAULT_OVERLAP
+
+    bins = ofdm._bin_map(mode)
+    chan_est = reference_signals.make_channel_estimator(mode)
+    cell_dilv = reference_signals.make_cell_deinterleaver(mode)
+    qdemap = mapper.make_demapper(mode)
+    bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    depunct = inner_coder.make_depuncture(n_info, mode.code_rate)
+    vit = viterbi.make_viterbi_decoder(n_info, body=min(1024, n_info),
+                                       overlap=ov)
+
+    # the halo symbols sit at frame positions (n_blk_sym - H .. n_blk_sym-1)
+    # mod 68; the channel estimator / deinterleaver tables are phase-indexed
+    # by row position, so embed the halo into a full 68-row frame and slice.
+    first_sym = (n_blk_sym - H) % SYMBOLS_PER_FRAME
+    assert first_sym + H <= SYMBOLS_PER_FRAME
+
+    def recompute(block_idx: jnp.ndarray, halo_iq: jnp.ndarray) -> dict:
+        syms = halo_iq.reshape(H, L)[:, mode.guard_len:]
+        spec = jnp.fft.fft(syms, axis=-1, norm="ortho")[:, jnp.asarray(bins)]
+        # pad to a frame-aligned 68-symbol board for the phase-indexed ops
+        board = jnp.zeros((SYMBOLS_PER_FRAME, mode.n_carriers), spec.dtype)
+        board = jax.lax.dynamic_update_slice(board, spec, (first_sym, 0))
+        Hh = chan_est(board)
+        X = board / Hh
+        cells = cell_dilv(qdemap(X))                  # (68, n_payload)
+        cells = jax.lax.dynamic_slice(
+            cells, (first_sym, 0), (H, mode.n_payload))
+        bits = bit_dilv(cells).reshape(-1)            # (H * coded bits,)
+        x, y, xm, ym = depunct(bits)
+        xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+        ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+        vstate = {"x": x[-ov:], "y": y[-ov:], "xm": xm[-ov:], "ym": ym[-ov:]}
+        _, info = vit(viterbi.init_state(ov), x, y, xm, ym)
+        stream = bitutils.bits_to_bytes(info)
+        tail = stream[-outer_interleaver.TAIL:]
+        p_blk = mode.packets_per_block
+        first = block_idx == 0
+        return {
+            "deint_tail": jnp.where(first, jnp.zeros_like(tail), tail),
+            "viterbi": jax.tree.map(
+                lambda z, v: jnp.where(first, z, v),
+                viterbi.init_state(ov), vstate),
+            # analytic scrambler group phase: the stream entering RS at
+            # block b starts at TS packet b*P - 11 (outer delay), and the
+            # streaming detector converges to exactly this phase
+            "descr_phase": ((block_idx * p_blk - 11) % 8).astype(jnp.int32),
+            "descr_locked": jnp.asarray(True),
+        }
+
+    return recompute
+
+
+def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh):
+    """Returns (step, n_pk_blk, carry0).
+
+    step(carry, packets (D*P, 188) sharded over 'time')
+      -> (carry', ts (D*P, 188) sharded, fleet metrics)
+
+    Each device transmits and receives one super-block; TX packet halos and
+    RX sample halos ride the ICI ring via ppermute.  carry holds the host-
+    side tail of the previous step for device 0 plus the global step count.
+    """
+    D = mesh.devices.size
+    tx, n_pk, n_samp = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode)
+    tx_state_of = make_tx_state_from_halo(mode)
+    rx_state_of = make_rx_state_from_halo(mode)
+    H = rx_halo_symbols(mode)
+    L = mode.symbol_len
+    halo_samp = H * L
+
+    def local(carry, packets):
+        # packets: (P, 188) on this shard
+        prev_pk, prev_iq, step_idx = carry
+        d = jax.lax.axis_index("time")
+        block_idx = step_idx * D + d
+
+        # --- TX ---------------------------------------------------------
+        my_tail_pk = packets[-HALO_PACKETS:]
+        halo_pk = jax.lax.ppermute(
+            my_tail_pk, "time", [(i, (i + 1) % D) for i in range(D)])
+        halo_pk = jnp.where(d == 0, prev_pk, halo_pk)
+        tstate = tx_state_of(block_idx, halo_pk)
+        tstate = jax.tree.map(
+            lambda i, r: jnp.where(block_idx == 0, i, r),
+            txm.init_tx_state(mode), tstate)
+        _, iq = tx(tstate, packets)
+
+        # --- RX (sample halo from the left neighbor's TX output) ---------
+        my_tail_iq = iq[-halo_samp:]
+        halo_iq = jax.lax.ppermute(
+            my_tail_iq, "time", [(i, (i + 1) % D) for i in range(D)])
+        halo_iq = jnp.where(d == 0, prev_iq, halo_iq)
+        rstate = rx_state_of(block_idx, halo_iq)
+        _, ts, metrics = rx(rstate, iq)
+
+        fleet = {
+            "rs_uncorrectable_total": jax.lax.psum(
+                metrics["rs_uncorrectable"].sum(), "time"),
+        }
+        # host carry for the next step: LAST device's tails, replicated
+        last_pk = jax.lax.all_gather(my_tail_pk, "time")[D - 1]
+        last_iq = jax.lax.all_gather(my_tail_iq, "time")[D - 1]
+        return (last_pk, last_iq, step_idx + 1), ts, fleet
+
+    step = jax.jit(jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=((P(), P(), P()), P("time")),
+        out_specs=((P(), P(), P()), P("time"), P()),
+        check_vma=False,
+    ))
+
+    carry0 = (jnp.zeros((HALO_PACKETS, 188), jnp.uint8),
+              jnp.zeros((halo_samp,), jnp.complex64),
+              jnp.int32(0))
+    return step, n_pk, carry0

@@ -1,0 +1,60 @@
+"""Time-axis (sequence) parallelism: N-chip halo-recompute decode must be
+byte-identical to the single-chip streaming chain (SURVEY.md §4 point 5:
+sharding must be bit-invisible)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from dvbt_tpu.io import ts as tsio
+from dvbt_tpu.mode import MODE_2K_QPSK, DvbtMode
+from dvbt_tpu.models import rx as rxm, tx as txm
+from dvbt_tpu.parallel import time_sharding as tsh
+
+
+def _streaming_reference(mode, packets, n_blocks, n_pk):
+    tx, _, _ = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode)
+    tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+    outs = []
+    for b in range(n_blocks):
+        tst, iq = tx(tst, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
+        rst, ts, _ = rx(rst, iq)
+        outs.append(np.asarray(ts))
+    return np.concatenate(outs)
+
+
+@pytest.mark.parametrize("mode", [MODE_2K_QPSK,
+                                  DvbtMode("2k", "16qam", "2/3")])
+def test_time_sharded_loopback_matches_streaming(mode):
+    D = 4
+    devices = jax.devices()[:D]
+    mesh = Mesh(np.asarray(devices), ("time",))
+    step, n_pk, carry = tsh.make_time_sharded_loopback(mode, mesh)
+    n_steps = 2
+    n_blocks = D * n_steps
+    packets = tsio.make_ts_packets(n_pk * n_blocks, seed=5)
+    ref = _streaming_reference(mode, packets, n_blocks, n_pk)
+
+    outs = []
+    sh = NamedSharding(mesh, P("time"))
+    for s in range(n_steps):
+        chunk = jax.device_put(
+            jnp.asarray(packets[s * D * n_pk:(s + 1) * D * n_pk]), sh)
+        carry, ts, fleet = step(carry, chunk)
+        outs.append(np.asarray(ts))
+        assert int(fleet["rs_uncorrectable_total"]) <= (
+            11 if s == 0 else 0)  # only the stream-head warmup may fail
+    got = np.concatenate(outs)
+    assert np.array_equal(got, ref)
+
+
+def test_rx_halo_symbol_budget():
+    # the halo must stay well under one frame for every standard mode
+    for t in ("2k", "8k"):
+        for c in ("qpsk", "16qam", "64qam"):
+            for r in ("1/2", "2/3", "3/4", "5/6", "7/8"):
+                h = tsh.rx_halo_symbols(DvbtMode(t, c, r))
+                assert 1 <= h < 68
