@@ -106,6 +106,27 @@ class DvbtMode:
         """Coded (post-puncturing) bits carried by one OFDM symbol."""
         return self.n_payload * self.v
 
+    def stream_coded_bits_per_symbol(self, stream: str = "hp") -> int:
+        """Coded bits per symbol carried by one stream: hierarchical HP gets
+        substreams b0,b1 (2 bits/cell), LP the remaining v-2
+        [EN300744 §4.3.4.1]; non-hierarchical 'hp' is the whole symbol."""
+        if not self.hierarchical:
+            assert stream == "hp"
+            return self.n_payload * self.v
+        return self.n_payload * (2 if stream == "hp" else self.v - 2)
+
+    def stream_rate(self, stream: str = "hp") -> Fraction:
+        return CODE_RATES[self.code_rate if stream == "hp"
+                          else self.code_rate_lp]
+
+    def stream_info_bits_per_symbol(self, stream: str = "hp") -> Fraction:
+        return self.stream_coded_bits_per_symbol(stream) * \
+            self.stream_rate(stream)
+
+    @property
+    def streams(self) -> tuple[str, ...]:
+        return ("hp", "lp") if self.hierarchical else ("hp",)
+
     @property
     def info_bits_per_symbol(self) -> Fraction:
         return self.bits_per_symbol * CODE_RATES[self.code_rate]
@@ -113,13 +134,19 @@ class DvbtMode:
     @functools.cached_property
     def frames_per_block(self) -> int:
         """Smallest f | 4 such that a block of f frames carries an integer
-        number of 204-byte packets (always true at the superframe, EN300744
-        §4.4: a superframe always carries an integer number of TS packets)."""
+        number of 204-byte packets in EVERY stream (always true at the
+        superframe, EN300744 §4.4)."""
         for f in (1, 2, 4):
-            bits = self.info_bits_per_symbol * SYMBOLS_PER_FRAME * f
-            if bits % (8 * RS_PACKET) == 0:
+            if all((self.stream_info_bits_per_symbol(s) * SYMBOLS_PER_FRAME
+                    * f) % (8 * RS_PACKET) == 0 for s in self.streams):
                 return f
         raise AssertionError("superframe packet alignment violated")
+
+    def stream_packets_per_block(self, stream: str = "hp") -> int:
+        p = (self.stream_info_bits_per_symbol(stream) * SYMBOLS_PER_FRAME
+             * self.frames_per_block) / (8 * RS_PACKET)
+        assert p.denominator == 1
+        return int(p)
 
     @functools.cached_property
     def packets_per_frame(self) -> Fraction:
@@ -127,9 +154,8 @@ class DvbtMode:
 
     @property
     def packets_per_block(self) -> int:
-        p = self.packets_per_frame * self.frames_per_block
-        assert p.denominator == 1
-        return int(p)
+        """Non-hierarchical single-stream packet count (HP for hierarchical)."""
+        return self.stream_packets_per_block("hp")
 
     @property
     def symbols_per_block(self) -> int:

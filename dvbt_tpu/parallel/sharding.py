@@ -109,4 +109,15 @@ def dryrun(mode: DvbtMode, n_devices: int, muxes_per_device: int = 1):
     # second step re-uses the compiled program and the carried state
     states, out, fleet = step(states, pk)
     jax.block_until_ready(out)
+
+    # also exercise the time-axis (sequence-parallel) path: halo exchange
+    # over the ring via ppermute + all_gather (SURVEY.md §5.7)
+    from . import time_sharding as tsh
+    tmesh = Mesh(np.asarray(devices[:n_devices]), ("time",))
+    tstep, t_pk, carry = tsh.make_time_sharded_loopback(mode, tmesh)
+    tpk = jax.device_put(
+        jnp.asarray(tsio.make_ts_packets(t_pk * n_devices)),
+        NamedSharding(tmesh, P("time")))
+    carry, ts, tfleet = tstep(carry, tpk)
+    jax.block_until_ready(ts)
     return out, fleet
