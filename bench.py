@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 def main():
     import jax
     import jax.numpy as jnp
+    import numpy as np
 
     from dvbt_tpu.io import ts as tsio
     from dvbt_tpu.mode import MODE_2K_QPSK, MODE_8K_UK
@@ -33,21 +34,40 @@ def main():
     which = os.environ.get("DVBT_BENCH_MODE", "8k64qam23")
     mode = {"8k64qam23": MODE_8K_UK, "2kqpsk12": MODE_2K_QPSK}[which]
     target_s = float(os.environ.get("DVBT_BENCH_SECONDS", "10"))
+    # amortization knobs: frames per super-block and mux batch per step.
+    # Per-dispatch latency on the remote TPU tunnel is ~100 ms, so the
+    # default step carries ~2.3 s of air time to make it negligible.
+    n_frames = mode.frames_per_block * int(os.environ.get(
+        "DVBT_BENCH_FRAMES", "4"))
+    n_mux = int(os.environ.get("DVBT_BENCH_MUX", "4"))
 
-    tx, n_pk, n_samp = txm.make_transmitter(mode)
-    rx, _, _ = rxm.make_receiver(mode)
+    tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames)
+    rx, _, _ = rxm.make_receiver(mode, n_frames)
+    n_samp = n_samp_1 * n_mux
 
     # tx and rx are each one jitted program; composing them under one more
     # jit re-lowers the whole chain into a single XLA module, which the TPU
     # compiler handles far worse (>15 min) than the two-program pipeline.
+    # The mux batch rides vmap (independent streams on one chip).
+    vtx = jax.jit(jax.vmap(tx)) if n_mux > 1 else tx
+    vrx = jax.jit(jax.vmap(rx)) if n_mux > 1 else rx
+
     def step(tx_state, rx_state, packets):
-        tx_state, iq = tx(tx_state, packets)
-        rx_state, ts, metrics = rx(rx_state, iq)
+        tx_state, iq = vtx(tx_state, packets)
+        rx_state, ts, metrics = vrx(rx_state, iq)
         return tx_state, rx_state, ts, metrics["rs_uncorrectable"]
 
-    packets = jnp.asarray(tsio.make_ts_packets(n_pk))
-    tst = txm.init_tx_state(mode)
-    rst = rxm.init_rx_state(mode)
+    def rep(s):
+        if n_mux == 1:
+            return s
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_mux,) + x.shape), s)
+
+    pk1 = tsio.make_ts_packets(n_pk)
+    packets = jnp.asarray(
+        np.stack([pk1] * n_mux) if n_mux > 1 else pk1)
+    tst = rep(txm.init_tx_state(mode))
+    rst = rep(rxm.init_rx_state(mode))
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)
@@ -56,16 +76,16 @@ def main():
     log("bench: compiling...")
     t0 = time.time()
     tst, rst, ts, bad = step(tst, rst, packets)
-    _ = int(ts[0, 0])
+    _ = int(ts.ravel()[0])
     compile_s = time.time() - t0
     log(f"bench: compiled in {compile_s:.1f}s")
     tst, rst, ts, bad = step(tst, rst, packets)
-    _ = int(ts[0, 0])
+    _ = int(ts.ravel()[0])
 
     # calibrate (scalar fetch = true roundtrip, not just block_until_ready)
     t0 = time.time()
     tst, rst, ts, bad = step(tst, rst, packets)
-    _ = int(ts[-1, -1])
+    _ = int(ts.ravel()[-1])
     t1 = max(time.time() - t0, 1e-4)
     iters = min(max(3, int(target_s / t1)), 2000)
     log(f"bench: single step {t1*1e3:.2f} ms -> {iters} iters")
@@ -76,7 +96,7 @@ def main():
     # force a real device->host roundtrip so remote backends can't fake
     # completion through block_until_ready
     n_bad = int(jnp.sum(bad))
-    _ = int(ts[-1, -1])
+    _ = int(ts.ravel()[-1])
     elapsed = time.time() - t0
     msps = n_samp * iters / elapsed / 1e6
     realtime = 64e6 / 7 / 1e6  # 9.1428 Msps
@@ -87,7 +107,7 @@ def main():
         "vs_baseline": round(msps / realtime, 3),
         "device": str(jax.devices()[0]),
         "iters": iters,
-        "block_samples": n_samp,
+        "block_samples": n_samp, "n_mux": n_mux, "n_frames": n_frames,
         "compile_s": round(compile_s, 1),
         "rs_uncorrectable_last_block": n_bad,
     }

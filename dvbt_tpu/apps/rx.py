@@ -25,6 +25,8 @@ def main(argv=None) -> int:
                    help="input IQ file (raw complex64)")
     p.add_argument("--out", dest="outfile", required=True,
                    help="output .ts file")
+    p.add_argument("--out-lp", dest="outfile_lp",
+                   help="LP-stream output .ts (hierarchical modes)")
     p.add_argument("--max-int-cfo", type=int, default=8,
                    help="integer CFO search range (subcarriers)")
     p.add_argument("--chunk", type=int, default=1 << 20,
@@ -33,7 +35,9 @@ def main(argv=None) -> int:
     mode = common.mode_from_args(a)
 
     srx = StreamingReceiver(mode, max_int_cfo=a.max_int_cfo)
-    n_pk = srx.n_packets
+    n_pk = srx.n_packets[0] if mode.hierarchical else srx.n_packets
+    flp = open(a.outfile_lp, "wb") if (mode.hierarchical and a.outfile_lp) \
+        else None
     t0 = time.time()
     n_blocks = n_corr = n_bad = n_samples = 0
     with open(a.infile, "rb") as fi, open(a.outfile, "wb") as fo:
@@ -51,6 +55,10 @@ def main(argv=None) -> int:
                           f"(cfo {float(rep.info['cfo_frac']) + float(rep.info['cfo_int']):+.3f} "
                           f"subcarriers)", file=sys.stderr)
                 rep.packets.tofile(fo)
+                if flp is not None:
+                    rep.packets_lp.tofile(flp)
+    if flp is not None:
+        flp.close()
     dt = time.time() - t0
     print(f"rx: {n_blocks} blocks, {n_blocks * n_pk} packets "
           f"(rs corrected bytes: {n_corr}, uncorrectable packets: {n_bad}) "

@@ -22,6 +22,8 @@ def main(argv=None) -> int:
     common.add_mode_args(p)
     p.add_argument("--in", dest="infile",
                    help="input .ts file (default: synthesized test stream)")
+    p.add_argument("--in-lp", dest="infile_lp",
+                   help="LP-stream .ts file (hierarchical modes)")
     p.add_argument("--out", dest="outfile", required=True,
                    help="output IQ file (raw complex64)")
     p.add_argument("--packets", type=int, default=0,
@@ -34,28 +36,37 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     tx, n_pk, n_samp = txm.make_transmitter(mode)
-    if a.infile:
-        packets = tsio.read_ts_file(a.infile)
-        if a.packets:
-            packets = packets[: a.packets]
-    else:
-        packets = tsio.make_ts_packets(a.packets or n_pk * 8)
-    n_blocks = len(packets) // n_pk
+    n_hp, n_lp = (n_pk if mode.hierarchical else (n_pk, 0))
+
+    def load(path, per_block):
+        if path:
+            pk = tsio.read_ts_file(path)
+            return pk[: a.packets] if a.packets else pk
+        return tsio.make_ts_packets(a.packets or per_block * 8)
+
+    packets = load(a.infile, n_hp)
+    n_blocks = len(packets) // n_hp
+    if mode.hierarchical:
+        packets_lp = load(a.infile_lp, n_lp)
+        n_blocks = min(n_blocks, len(packets_lp) // n_lp)
     if a.blocks:
         n_blocks = min(n_blocks, a.blocks)
     if n_blocks == 0:
-        print(f"need at least {n_pk} packets per block", file=sys.stderr)
+        print(f"need at least {n_hp} packets per block", file=sys.stderr)
         return 2
 
     state = txm.init_tx_state(mode)
     t0 = time.time()
     with open(a.outfile, "wb") as f:
         for b in range(n_blocks):
-            state, iq = tx(state, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
+            hp = jnp.asarray(packets[b * n_hp:(b + 1) * n_hp])
+            arg = (hp, jnp.asarray(packets_lp[b * n_lp:(b + 1) * n_lp])) \
+                if mode.hierarchical else hp
+            state, iq = tx(state, arg)
             tsio.device_get_complex(iq).tofile(f)
     dt = time.time() - t0
     total = n_blocks * n_samp
-    print(f"tx: {n_blocks} blocks, {n_blocks * n_pk} packets, "
+    print(f"tx: {n_blocks} blocks, {n_blocks * n_hp} packets, "
           f"{total} samples ({total / mode.sample_rate:.2f} s of air time) "
           f"in {dt:.2f} s [{total / dt / 1e6:.1f} Msps]", file=sys.stderr)
     return 0

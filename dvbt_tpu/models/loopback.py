@@ -37,6 +37,8 @@ class StreamReport:
     rs_corrected: np.ndarray
     rs_uncorrectable: np.ndarray
     info: dict                   # sync estimates (only fresh on reacquire)
+    packets_lp: np.ndarray | None = None   # hierarchical LP stream
+    lp_rs_uncorrectable: np.ndarray | None = None
 
 
 class StreamingReceiver:
@@ -116,11 +118,41 @@ class StreamingReceiver:
         bad = np.asarray(metrics["rs_uncorrectable"])
         if not reacq and bad.mean() > self.relock_threshold:
             self.locked = False  # lock lost: next block does a full search
+        hier = isinstance(ts, tuple)
         return StreamReport(
-            packets=np.asarray(ts),
+            packets=np.asarray(ts[0] if hier else ts),
             stream_offset=block_off,
             reacquired=reacq,
             rs_corrected=np.asarray(metrics["rs_corrected"]),
             rs_uncorrectable=bad,
             info=self.last_info,
+            packets_lp=np.asarray(ts[1]) if hier else None,
+            lp_rs_uncorrectable=(np.asarray(metrics["lp_rs_uncorrectable"])
+                                 if hier else None),
         )
+
+    # --- checkpoint / resume (SURVEY.md §5.4) -----------------------------
+    def save(self, path: str) -> None:
+        """Serialize the full receiver state (carried pytree + lock FSM +
+        sample buffer) for mid-stream resume."""
+        from ..utils import checkpoint as ckpt
+        ckpt.save_state(
+            path, self.rx_state,
+            buf=self._buf.view(np.float32),
+            stream_pos=self._stream_pos,
+            locked=self.locked,
+            cfo_frac=np.asarray(self.cfo_frac),
+            cfo_int=np.asarray(self.cfo_int),
+            phase=np.asarray(self.phase),
+        )
+
+    def restore(self, path: str) -> None:
+        from ..utils import checkpoint as ckpt
+        state, extra = ckpt.load_state(path, rxm.init_rx_state(self.mode))
+        self.rx_state = state
+        self._buf = extra["buf"].view(np.complex64)
+        self._stream_pos = int(extra["stream_pos"])
+        self.locked = bool(extra["locked"])
+        self.cfo_frac = jnp.float32(extra["cfo_frac"])
+        self.cfo_int = jnp.int32(extra["cfo_int"])
+        self.phase = jnp.float32(extra["phase"])

@@ -4,10 +4,15 @@ Reference: the RX flowgraph of SURVEY.md §3.2 (ofdm_sym_acquisition → FFT →
 demod_reference_signals → dvbt_demap → symbol/bit deinterleavers →
 viterbi_decoder → convolutional_deinterleaver → reed_solomon_dec →
 energy_descramble).  This module provides the symbol-aligned receiver
-(acquisition/CFO handled by ops.ofdm.make_symbol_acquisition + the streaming
-front-end in models/loopback.py); every data-dependent streaming behavior of
-the reference (sync-byte search, lock state) is re-expressed as batched
+(acquisition/CFO handled by ops.sync + the streaming front-end in
+models/loopback.py); every data-dependent streaming behavior of the
+reference (sync-byte search, lock state) is re-expressed as batched
 detection + carried state under jit.
+
+Hierarchical modes decode BOTH streams: the bit deinterleaver output splits
+into v-bit slots of which b0,b1 belong to HP and b2..b5 to LP
+[EN300744 §4.3.4.1]; each stream then runs its own depuncture → Viterbi →
+outer deinterleave → RS → descramble chain at its own code rate.
 """
 
 from __future__ import annotations
@@ -26,22 +31,28 @@ from ..ops import (
     outer_interleaver,
     reed_solomon,
     reference_signals,
-    symbol_interleaver,
     viterbi,
 )
 from ..utils import bits as bitutils
 
 
-def init_rx_state(mode: DvbtMode,
-                  overlap: int = viterbi.DEFAULT_OVERLAP) -> dict:
-    """Carried RX state pytree (SURVEY.md §5.4): deinterleaver tail, Viterbi
-    boundary window, descrambler phase lock."""
+def _init_stream_state(overlap: int) -> dict:
     return {
         "deint_tail": outer_interleaver.init_state(),
         "viterbi": viterbi.init_state(overlap),
         "descr_phase": jnp.int32(0),
         "descr_locked": jnp.asarray(False),
     }
+
+
+def init_rx_state(mode: DvbtMode,
+                  overlap: int = viterbi.DEFAULT_OVERLAP) -> dict:
+    """Carried RX state pytree (SURVEY.md §5.4): deinterleaver tail, Viterbi
+    boundary window, descrambler phase lock (per stream)."""
+    state = _init_stream_state(overlap)
+    if mode.hierarchical:
+        state["lp"] = _init_stream_state(overlap)
+    return state
 
 
 def _pick_viterbi(impl: str):
@@ -60,60 +71,28 @@ def _pick_viterbi(impl: str):
         viterbi.make_viterbi_decoder(n_bits, body=body, overlap=overlap)
 
 
-def make_receiver(mode: DvbtMode, n_frames: int | None = None,
-                  equalize: bool = True,
-                  viterbi_body: int = viterbi.DEFAULT_BODY,
-                  viterbi_overlap: int = viterbi.DEFAULT_OVERLAP,
-                  viterbi_impl: str = "auto"):
-    """Returns (rx, n_packets, n_samples).
-
-    rx(state, iq): complex64 (n_samples,) symbol-aligned baseband ->
-    (state', ts uint8 (n_packets, 188), metrics dict).
-
-    metrics: rs_corrected (P,), rs_uncorrectable (P,) bool, tps_bits (F, 68),
-    tps_frame (F,) — the observability counters of SURVEY.md §5.5.
-    """
-    if n_frames is None:
-        n_frames = mode.frames_per_block
-    assert n_frames % mode.frames_per_block == 0
-    n_packets = mode.packets_per_block * (n_frames // mode.frames_per_block)
+def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
+                         viterbi_body, viterbi_overlap, viterbi_impl):
+    """Per-stream byte pipeline: coded bits -> TS packets (R7..R10)."""
+    n_packets = mode.stream_packets_per_block(stream) * n_blocks
     n_bytes = n_packets * RS_PACKET
     n_info_bits = n_bytes * 8
-    n_sym = n_frames * SYMBOLS_PER_FRAME
-    n_samples = n_sym * mode.symbol_len
+    rate = mode.code_rate if stream == "hp" else mode.code_rate_lp
 
-    demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
-    chan_est = reference_signals.make_channel_estimator(mode)
-    cell_dilv = reference_signals.make_cell_deinterleaver(mode)  # R3+R5 fused
-    tps_dec = reference_signals.make_tps_decoder(mode)
-    qdemap = mapper.make_demapper(mode)
-    bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
-    depunct = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
+    depunct = inner_coder.make_depuncture(n_info_bits, rate)
     vit = _pick_viterbi(viterbi_impl)(n_info_bits, viterbi_body,
                                       viterbi_overlap)
     out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
     rs_dec = reed_solomon.make_rs_decoder()
     descramble = energy.make_energy_dispersal(n_packets)
 
-    def rx(state: dict, iq: jnp.ndarray):
-        frames = iq.reshape(n_frames, -1)
-        carriers = demod(frames)                       # (F, 68, K)
-        if equalize:
-            H = chan_est(carriers)
-            X = carriers / H
-        else:
-            X = carriers
-        tps_bits, tps_frame = tps_dec(X)
-        # demap everything (elementwise; pilot columns are don't-cares),
-        # then extract+symbol-deinterleave as one fused row-take permutation
-        cells = cell_dilv(qdemap(X))                   # (F, 68, C)
-        bits = bit_dilv(cells).reshape(-1)             # (n_coded_bits,)
-        x, y, xm, ym = depunct(bits)
+    def run(state: dict, coded_bits: jnp.ndarray):
+        x, y, xm, ym = depunct(coded_bits)
         xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
         ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
         vstate, info_bits = vit(state["viterbi"], x, y, xm, ym)
-        stream = bitutils.bits_to_bytes(info_bits)
-        tail, deinterleaved = out_dilv(state["deint_tail"], stream)
+        stream_bytes = bitutils.bits_to_bytes(info_bits)
+        tail, deinterleaved = out_dilv(state["deint_tail"], stream_bytes)
         packets204 = deinterleaved.reshape(n_packets, RS_PACKET)
         msg, rs_corr, rs_bad = rs_dec(packets204)
         detected = energy.detect_dispersal_phase(msg)
@@ -130,12 +109,86 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             "descr_phase": new_phase,
             "descr_locked": state["descr_locked"] | credible,
         }
+        metrics = {"rs_corrected": rs_corr, "rs_uncorrectable": rs_bad}
+        return new_state, ts, metrics
+
+    return run, n_packets
+
+
+def make_receiver(mode: DvbtMode, n_frames: int | None = None,
+                  equalize: bool = True,
+                  viterbi_body: int = viterbi.DEFAULT_BODY,
+                  viterbi_overlap: int = viterbi.DEFAULT_OVERLAP,
+                  viterbi_impl: str = "auto"):
+    """Returns (rx, n_packets, n_samples).
+
+    rx(state, iq): complex64 (n_samples,) symbol-aligned baseband ->
+    (state', ts, metrics).  Non-hierarchical: ts uint8 (n_packets, 188);
+    hierarchical: ts = (ts_hp, ts_lp) and n_packets = (n_hp, n_lp).
+
+    metrics: rs_corrected / rs_uncorrectable per stream (hp_/lp_ prefixed
+    when hierarchical), tps_bits (F, 68), tps_frame (F,) — the observability
+    counters of SURVEY.md §5.5.
+    """
+    if n_frames is None:
+        n_frames = mode.frames_per_block
+    assert n_frames % mode.frames_per_block == 0
+    n_blocks = n_frames // mode.frames_per_block
+    n_sym = n_frames * SYMBOLS_PER_FRAME
+    n_samples = n_sym * mode.symbol_len
+    slots = mode.n_payload
+
+    demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
+    chan_est = reference_signals.make_channel_estimator(mode)
+    cell_dilv = reference_signals.make_cell_deinterleaver(mode)  # R3+R5 fused
+    tps_dec = reference_signals.make_tps_decoder(mode)
+    qdemap = mapper.make_demapper(mode)
+    bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    hp_dec, n_pk_hp = _make_stream_decoder(
+        mode, "hp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl)
+    if mode.hierarchical:
+        lp_dec, n_pk_lp = _make_stream_decoder(
+            mode, "lp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl)
+
+    def rx(state: dict, iq: jnp.ndarray):
+        frames = iq.reshape(n_frames, -1)
+        carriers = demod(frames)                       # (F, 68, K)
+        if equalize:
+            H = chan_est(carriers)
+            X = carriers / H
+        else:
+            X = carriers
+        tps_bits, tps_frame = tps_dec(X)
+        # demap everything (elementwise; pilot columns are don't-cares),
+        # then extract+symbol-deinterleave as one fused row-take permutation
+        cells = cell_dilv(qdemap(X))                   # (F, 68, C)
+        bits = bit_dilv(cells)                         # (F, 68, C*v)
+        hp_state = {k: state[k] for k in
+                    ("deint_tail", "viterbi", "descr_phase", "descr_locked")}
+        if mode.hierarchical:
+            grouped = bits.reshape(n_frames, SYMBOLS_PER_FRAME, slots, mode.v)
+            hp_bits = grouped[..., :2].reshape(-1)
+            lp_bits = grouped[..., 2:].reshape(-1)
+            hp_state, ts_hp, m_hp = hp_dec(hp_state, hp_bits)
+            lp_state, ts_lp, m_lp = lp_dec(state["lp"], lp_bits)
+            new_state = dict(hp_state)
+            new_state["lp"] = lp_state
+            metrics = {
+                "rs_corrected": m_hp["rs_corrected"],
+                "rs_uncorrectable": m_hp["rs_uncorrectable"],
+                "lp_rs_corrected": m_lp["rs_corrected"],
+                "lp_rs_uncorrectable": m_lp["rs_uncorrectable"],
+                "tps_bits": tps_bits, "tps_frame": tps_frame,
+            }
+            return new_state, (ts_hp, ts_lp), metrics
+        hp_state, ts, m = hp_dec(hp_state, bits.reshape(-1))
         metrics = {
-            "rs_corrected": rs_corr,
-            "rs_uncorrectable": rs_bad,
+            "rs_corrected": m["rs_corrected"],
+            "rs_uncorrectable": m["rs_uncorrectable"],
             "tps_bits": tps_bits,
             "tps_frame": tps_frame,
         }
-        return new_state, ts, metrics
+        return hp_state, ts, metrics
 
+    n_packets = (n_pk_hp, n_pk_lp) if mode.hierarchical else n_pk_hp
     return jax.jit(rx), n_packets, n_samples

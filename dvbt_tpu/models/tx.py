@@ -7,6 +7,13 @@ reference_signals → IFFT+CP).  Where GNU Radio pipelines 10 blocks across
 threads with circular buffers, XLA fuses the same dataflow into one compiled
 program over a frame-aligned super-block; all streaming state is an explicit
 carried pytree (SURVEY.md §7 design stance).
+
+Hierarchical modes carry TWO transport streams (HP at ``code_rate``, LP at
+``code_rate_lp``): each gets its own dispersal/RS/outer/inner chain and the
+bit interleaver demultiplexes HP onto substreams b0,b1 and LP onto b2..b5
+[EN300744 §4.3.4.1] — in this implementation the two coded streams are
+zipped into v-bit slots, which is exactly the layout
+tables.bit_interleaver_indices(v, hierarchical=True) encodes.
 """
 
 from __future__ import annotations
@@ -25,66 +32,107 @@ from ..ops import (
     outer_interleaver,
     reed_solomon,
     reference_signals,
-    symbol_interleaver,
 )
 from ..utils import bits as bitutils
 
 
-def init_tx_state(mode: DvbtMode) -> dict:
-    """Carried TX state pytree (SURVEY.md §5.4)."""
+def _init_stream_state() -> dict:
     return {
         "dispersal_phase": jnp.int32(0),
         "outer_tail": outer_interleaver.init_state(),
         "coder_state": inner_coder.init_state(),
-        "frame_idx": jnp.int32(0),
     }
 
 
-def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
-    """Returns (tx, n_packets, n_samples).
+def init_tx_state(mode: DvbtMode) -> dict:
+    """Carried TX state pytree (SURVEY.md §5.4)."""
+    state = _init_stream_state()
+    state["frame_idx"] = jnp.int32(0)
+    if mode.hierarchical:
+        state["lp"] = _init_stream_state()
+    return state
 
-    tx(state, packets): uint8 (n_packets, 188) MPEG-TS -> (state',
-    iq complex64 (n_samples,)).  ``n_frames`` must be a multiple of
-    mode.frames_per_block so the block carries an integer packet count.
-    """
-    if n_frames is None:
-        n_frames = mode.frames_per_block
-    assert n_frames % mode.frames_per_block == 0
-    n_packets = mode.packets_per_block * (n_frames // mode.frames_per_block)
+
+def _make_stream_pipeline(mode: DvbtMode, stream: str, n_blocks: int):
+    """Per-stream bit pipeline: TS packets -> coded bits (T1..T4)."""
+    n_packets = mode.stream_packets_per_block(stream) * n_blocks
     n_bytes = n_packets * RS_PACKET
     n_info_bits = n_bytes * 8
-    n_sym = n_frames * SYMBOLS_PER_FRAME
+    rate = mode.code_rate if stream == "hp" else mode.code_rate_lp
 
     disperse = energy.make_energy_dispersal(n_packets)
     rs_enc = reed_solomon.make_rs_encoder()
     out_ilv = outer_interleaver.make_outer_interleaver(n_bytes)
-    coder = inner_coder.make_inner_coder(n_info_bits, mode.code_rate)
-    bit_ilv = bit_interleaver.make_bit_interleaver(mode)
-    qmap = mapper.make_mapper(mode)
-    builder = reference_signals.make_frame_builder(mode)  # sym_ilv + T8 fused
-    modulator = ofdm.make_ofdm_modulator(mode)
-    n_samples = n_sym * mode.symbol_len
+    coder = inner_coder.make_inner_coder(n_info_bits, rate)
 
-    def tx(state: dict, packets: jnp.ndarray):
+    def run(state: dict, packets: jnp.ndarray):
         phase, randomized = disperse(state["dispersal_phase"], packets)
         coded204 = rs_enc(randomized)
         tail, interleaved = out_ilv(state["outer_tail"],
                                     coded204.reshape(-1))
         bits = bitutils.bytes_to_bits(interleaved)
         cstate, coded_bits = coder(state["coder_state"], bits)
-        per_sym = coded_bits.reshape(n_frames, SYMBOLS_PER_FRAME,
-                                     mode.n_payload * mode.v)
+        new_state = {
+            "dispersal_phase": phase,
+            "outer_tail": tail,
+            "coder_state": cstate,
+        }
+        return new_state, coded_bits
+
+    return run, n_packets
+
+
+def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
+    """Returns (tx, n_packets, n_samples).
+
+    Non-hierarchical: tx(state, packets) with packets uint8 (n_packets, 188).
+    Hierarchical: tx(state, (packets_hp, packets_lp)); n_packets is then the
+    (hp, lp) pair.  Output: (state', iq complex64 (n_samples,)).
+    """
+    if n_frames is None:
+        n_frames = mode.frames_per_block
+    assert n_frames % mode.frames_per_block == 0
+    n_blocks = n_frames // mode.frames_per_block
+    n_sym = n_frames * SYMBOLS_PER_FRAME
+
+    hp_pipe, n_pk_hp = _make_stream_pipeline(mode, "hp", n_blocks)
+    if mode.hierarchical:
+        lp_pipe, n_pk_lp = _make_stream_pipeline(mode, "lp", n_blocks)
+    bit_ilv = bit_interleaver.make_bit_interleaver(mode)
+    qmap = mapper.make_mapper(mode)
+    builder = reference_signals.make_frame_builder(mode)  # sym_ilv + T8 fused
+    modulator = ofdm.make_ofdm_modulator(mode)
+    n_samples = n_sym * mode.symbol_len
+    slots = mode.n_payload
+
+    def tx(state: dict, packets):
+        if mode.hierarchical:
+            pk_hp, pk_lp = packets
+        else:
+            pk_hp = packets
+        hp_state, hp_bits = hp_pipe(
+            {k: state[k] for k in
+             ("dispersal_phase", "outer_tail", "coder_state")}, pk_hp)
+        if mode.hierarchical:
+            lp_state, lp_bits = lp_pipe(state["lp"], pk_lp)
+            hp = hp_bits.reshape(n_frames, SYMBOLS_PER_FRAME, slots, 2)
+            lp = lp_bits.reshape(n_frames, SYMBOLS_PER_FRAME, slots,
+                                 mode.v - 2)
+            per_sym = jnp.concatenate([hp, lp], axis=-1).reshape(
+                n_frames, SYMBOLS_PER_FRAME, slots * mode.v)
+        else:
+            per_sym = hp_bits.reshape(n_frames, SYMBOLS_PER_FRAME,
+                                      slots * mode.v)
         cells = bit_ilv(per_sym)                      # (F, 68, C)
         points = qmap(cells)                          # (F, 68, C) complex
         fidx = state["frame_idx"] + jnp.arange(n_frames, dtype=jnp.int32)
         carriers = jax.vmap(builder)(fidx, points)    # (F, 68, K)
         iq = modulator(carriers).reshape(-1)
-        new_state = {
-            "dispersal_phase": phase,
-            "outer_tail": tail,
-            "coder_state": cstate,
-            "frame_idx": (state["frame_idx"] + n_frames) % 4,
-        }
+        new_state = dict(hp_state)
+        new_state["frame_idx"] = (state["frame_idx"] + n_frames) % 4
+        if mode.hierarchical:
+            new_state["lp"] = lp_state
         return new_state, iq
 
+    n_packets = (n_pk_hp, n_pk_lp) if mode.hierarchical else n_pk_hp
     return jax.jit(tx), n_packets, n_samples
