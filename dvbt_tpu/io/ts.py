@@ -26,13 +26,15 @@ def make_ts_packets(n_packets: int, seed: int = 0) -> np.ndarray:
 
 
 def read_ts_file(path: str) -> np.ndarray:
-    """Load and packet-align a .ts file -> (n, 188) uint8 (truncates tail)."""
+    """Load and packet-align a .ts file -> (n, 188) uint8 (truncates tail).
+
+    Sync search runs in the native C++ framer (dvbt_tpu.native), mirroring
+    the reference's R8/R10 sync-byte search."""
+    from .. import native
+
     raw = np.fromfile(path, dtype=np.uint8)
-    # align to the first position where sync bytes repeat at 188 spacing
-    for off in range(TS_PACKET):
-        if raw[off] == SYNC and raw[off + TS_PACKET] == SYNC:
-            break
-    else:
+    off = native.ts_find_sync(raw, confirm=2)
+    if off < 0:
         raise ValueError("no MPEG-TS sync found")
     raw = raw[off:]
     n = len(raw) // TS_PACKET

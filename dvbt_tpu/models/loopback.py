@@ -63,8 +63,13 @@ class StreamingReceiver:
         self.track = syncop.make_tracker(mode, n_frames)
         self.rx, self.n_packets, _ = rxm.make_receiver(mode, n_frames)
         self.relock_threshold = relock_threshold
-        self._buf = np.zeros((0,), np.complex64)
-        self._stream_pos = 0      # absolute sample index of _buf[0]
+        # native SPSC ring (C++ when the toolchain is present) so feed() is
+        # O(chunk) and block reads are zero-copy contiguous views
+        from .. import native
+        self._ring = native.RingBuffer(
+            capacity=4 * self.capture_samples,
+            max_read=self.capture_samples, dtype=np.complex64)
+        self._stream_pos = 0      # absolute sample index of the ring head
         self.locked = False
         self.cfo_frac = jnp.float32(0.0)
         self.cfo_int = jnp.int32(0)
@@ -77,27 +82,37 @@ class StreamingReceiver:
 
     def feed(self, samples: np.ndarray) -> list[StreamReport]:
         """Append samples; decode as many blocks as the buffer allows."""
-        self._buf = np.concatenate([self._buf,
-                                    np.asarray(samples, np.complex64)])
+        samples = np.asarray(samples, np.complex64)
         out = []
-        while len(self._buf) >= self._need():
+        pos = 0
+        while pos < len(samples):
+            pos += self._ring.write(samples[pos:])
+            while self._ring.readable >= self._need():
+                out.append(self._step())
+        while self._ring.readable >= self._need():
             out.append(self._step())
         return out
 
+    def _peek(self, n: int) -> np.ndarray:
+        view = self._ring.peek(n)
+        assert view is not None
+        return view
+
     def _consume(self, n: int):
-        self._buf = self._buf[n:]
+        self._ring.consume(n)
         self._stream_pos += n
 
     def _step(self) -> StreamReport:
         reacq = not self.locked
         if self.locked:
-            iq = tsio.device_put_complex(self._buf[: self.block_samples])
+            iq = tsio.device_put_complex(self._peek(self.block_samples))
             aligned, self.phase = self.track(
                 iq, self.cfo_frac, self.cfo_int, self.phase)
             block_off = self._stream_pos
             self._consume(self.block_samples)
         else:
-            capture = tsio.device_put_complex(self._buf[: self.capture_samples])
+            capture = tsio.device_put_complex(
+                self._peek(self.capture_samples))
             aligned, info = self.sync(capture)
             self.cfo_frac = info["cfo_frac"]
             self.cfo_int = info["cfo_int"]
@@ -136,9 +151,12 @@ class StreamingReceiver:
         """Serialize the full receiver state (carried pytree + lock FSM +
         sample buffer) for mid-stream resume."""
         from ..utils import checkpoint as ckpt
+        n = self._ring.readable
+        buf = (np.array(self._ring.peek(n)) if n
+               else np.zeros((0,), np.complex64))
         ckpt.save_state(
             path, self.rx_state,
-            buf=self._buf.view(np.float32),
+            buf=buf.view(np.float32),
             stream_pos=self._stream_pos,
             locked=self.locked,
             cfo_frac=np.asarray(self.cfo_frac),
@@ -150,7 +168,11 @@ class StreamingReceiver:
         from ..utils import checkpoint as ckpt
         state, extra = ckpt.load_state(path, rxm.init_rx_state(self.mode))
         self.rx_state = state
-        self._buf = extra["buf"].view(np.complex64)
+        from .. import native
+        self._ring = native.RingBuffer(
+            capacity=4 * self.capture_samples,
+            max_read=self.capture_samples, dtype=np.complex64)
+        self._ring.write(extra["buf"].view(np.complex64))
         self._stream_pos = int(extra["stream_pos"])
         self.locked = bool(extra["locked"])
         self.cfo_frac = jnp.float32(extra["cfo_frac"])
