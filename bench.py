@@ -39,7 +39,7 @@ def main():
     # default step carries ~2.3 s of air time to make it negligible.
     n_frames = mode.frames_per_block * int(os.environ.get(
         "DVBT_BENCH_FRAMES", "4"))
-    n_mux = int(os.environ.get("DVBT_BENCH_MUX", "4"))
+    n_mux = int(os.environ.get("DVBT_BENCH_MUX", "8"))
 
     tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames)
     rx, _, _ = rxm.make_receiver(mode, n_frames)

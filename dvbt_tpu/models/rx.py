@@ -143,6 +143,7 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
     cell_dilv = reference_signals.make_cell_deinterleaver(mode)  # R3+R5 fused
     tps_dec = reference_signals.make_tps_decoder(mode)
     qdemap = mapper.make_demapper(mode)
+    qmap_points = mapper.make_mapper(mode)
     bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
     hp_dec, n_pk_hp = _make_stream_decoder(
         mode, "hp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl)
@@ -162,6 +163,14 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         # demap everything (elementwise; pilot columns are don't-cares),
         # then extract+symbol-deinterleave as one fused row-take permutation
         cells = cell_dilv(qdemap(X))                   # (F, 68, C)
+        # MER / SNR estimate (SURVEY.md §5.5 observability): error power of
+        # the equalized payload cells vs their hard decisions
+        X_cells = cell_dilv(X)
+        p_hat = qmap_points(cells)
+        err = X_cells - p_hat
+        mer_db = 10.0 * jnp.log10(
+            jnp.sum(jnp.abs(p_hat) ** 2)
+            / jnp.maximum(jnp.sum(jnp.abs(err) ** 2), 1e-12))
         bits = bit_dilv(cells)                         # (F, 68, C*v)
         hp_state = {k: state[k] for k in
                     ("deint_tail", "viterbi", "descr_phase", "descr_locked")}
@@ -179,6 +188,7 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                 "lp_rs_corrected": m_lp["rs_corrected"],
                 "lp_rs_uncorrectable": m_lp["rs_uncorrectable"],
                 "tps_bits": tps_bits, "tps_frame": tps_frame,
+                "mer_db": mer_db,
             }
             return new_state, (ts_hp, ts_lp), metrics
         hp_state, ts, m = hp_dec(hp_state, bits.reshape(-1))
@@ -187,6 +197,7 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             "rs_uncorrectable": m["rs_uncorrectable"],
             "tps_bits": tps_bits,
             "tps_frame": tps_frame,
+            "mer_db": mer_db,
         }
         return hp_state, ts, metrics
 
