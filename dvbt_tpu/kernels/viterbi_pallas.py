@@ -53,33 +53,32 @@ def _viterbi_kernel(in_ref, out_ref, dec_ref, *, L, ov, body):
     poy0 = _parity((s << 1) & G2)
 
     # --- forward ACS ------------------------------------------------------
-    def fwd(t, carry):
-        pm, decw = carry
-        row = in_ref[pl.ds(t, 1), :]                    # (1, 128)
-        bx, by = row & 1, (row >> 1) & 1
-        mx, my = (row >> 2) & 1, (row >> 3) & 1
-        bm0 = mx * (bx ^ pox0) + my * (by ^ poy0)       # (64, 128)
-        bm1 = (mx + my) - bm0                            # G1,G2 both odd
-        # predecessor butterfly as a pure sublane reshape (strided slices
-        # would lower to a Mosaic gather)
-        pm3 = pm.reshape(32, 2, LANES)
-        even, odd = pm3[:, 0], pm3[:, 1]                 # (32, 128)
-        c0 = jnp.concatenate([even, even], axis=0) + bm0
-        c1 = jnp.concatenate([odd, odd], axis=0) + bm1
-        dec = c1 < c0
-        pm = jnp.minimum(c0, c1)
-        decw = decw | (dec.astype(jnp.uint32) << (t & 31).astype(jnp.uint32))
-
-        @pl.when((t & 31) == 31)
-        def _():
-            dec_ref[pl.ds(t // 32, 1)] = decw[None]
-
-        decw = jnp.where((t & 31) == 31, jnp.zeros_like(decw), decw)
-        return pm, decw
+    # word-level loop: 32 trellis steps per iteration with STATIC in-word
+    # bit positions (traced shift amounts and per-step flushes cost real
+    # cycles), one decision-word store per 32 steps.
+    def fwd_word(wi, pm):
+        decw = jnp.zeros((N_STATES, LANES), jnp.uint32)
+        rows = in_ref[pl.ds(wi * 32, 32), :]             # (32, 128)
+        for k in range(32):
+            row = rows[k: k + 1]                         # (1, 128)
+            bx, by = row & 1, (row >> 1) & 1
+            mx, my = (row >> 2) & 1, (row >> 3) & 1
+            bm0 = mx * (bx ^ pox0) + my * (by ^ poy0)    # (64, 128)
+            bm1 = (mx + my) - bm0                        # G1,G2 both odd
+            # predecessor butterfly as a pure sublane reshape (strided
+            # slices would lower to a Mosaic gather)
+            pm3 = pm.reshape(32, 2, LANES)
+            even, odd = pm3[:, 0], pm3[:, 1]             # (32, 128)
+            c0 = jnp.concatenate([even, even], axis=0) + bm0
+            c1 = jnp.concatenate([odd, odd], axis=0) + bm1
+            dec = c1 < c0
+            pm = jnp.minimum(c0, c1)
+            decw = decw | (dec.astype(jnp.uint32) << np.uint32(k))
+        dec_ref[pl.ds(wi, 1)] = decw[None]
+        return pm
 
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
-    decw0 = jnp.zeros((N_STATES, LANES), jnp.uint32)
-    pm_fin, _ = jax.lax.fori_loop(0, L, fwd, (pm0, decw0))
+    pm_fin = jax.lax.fori_loop(0, L // 32, fwd_word, pm0)
 
     # --- traceback --------------------------------------------------------
     # argmin via min + iota select (argmin lowers poorly in Mosaic)
@@ -87,27 +86,21 @@ def _viterbi_kernel(in_ref, out_ref, dec_ref, *, L, ov, body):
     s_end = jnp.min(jnp.where(pm_fin == pm_min, s, N_STATES),
                     axis=0, keepdims=True)               # (1, 128)
 
-    def bwd(i, carry):
-        st, outw = carry
-        t = L - 1 - i
-        w = dec_ref[pl.ds(t // 32, 1)][0]               # (64, 128) uint32
-        sel = s == st                                    # one-hot over states
-        wbit = ((w >> (t & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
-        dbit = jnp.sum(jnp.where(sel, wbit, 0),
-                       axis=0, keepdims=True)            # (1, 128)
-        bit = (st >> 5).astype(jnp.uint32)
-        outw = outw | (bit << (t & 31).astype(jnp.uint32))
+    def bwd_word(i, st):
+        wi = L // 32 - 1 - i
+        w = dec_ref[pl.ds(wi, 1)][0]                     # (64, 128) uint32
+        outw = jnp.zeros((1, LANES), jnp.uint32)
+        for k in range(31, -1, -1):
+            sel = s == st                                # one-hot over states
+            wbit = ((w >> np.uint32(k)) & 1).astype(jnp.int32)
+            dbit = jnp.sum(jnp.where(sel, wbit, 0),
+                           axis=0, keepdims=True)        # (1, 128)
+            outw = outw | ((st >> 5).astype(jnp.uint32) << np.uint32(k))
+            st = ((st & 31) << 1) | dbit
+        out_ref[pl.ds(wi, 1), :] = outw
+        return st
 
-        @pl.when((t & 31) == 0)
-        def _():
-            out_ref[pl.ds(t // 32, 1), :] = outw
-
-        outw = jnp.where((t & 31) == 0, jnp.zeros_like(outw), outw)
-        st = ((st & 31) << 1) | dbit
-        return st, outw
-
-    outw0 = jnp.zeros((1, LANES), jnp.uint32)
-    jax.lax.fori_loop(0, L, bwd, (s_end, outw0))
+    jax.lax.fori_loop(0, L // 32, bwd_word, s_end)
 
 
 def auto_body(n_bits: int) -> int:
