@@ -23,12 +23,13 @@ from . import common
 DELAY_PACKETS = 11
 
 
-def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0):
+def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0,
+              demap: str = "hard"):
     import jax
     import jax.numpy as jnp
 
     tx, n_pk, _ = txm.make_transmitter(mode)
-    rx, _, _ = rxm.make_receiver(mode)
+    rx, _, _ = rxm.make_receiver(mode, demap=demap)
     packets = tsio.make_ts_packets(n_pk * n_blocks, seed=seed)
     tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
     key = jax.random.PRNGKey(seed + 1)
@@ -69,10 +70,14 @@ def main(argv=None) -> int:
                    help="comma-separated SNR points in dB")
     p.add_argument("--blocks", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--demap", choices=["hard", "soft"], default="hard",
+                   help="hard = reference parity; soft = 4-bit max-log "
+                        "metrics into the soft Viterbi (~2 dB gain)")
     a = p.parse_args(argv)
     mode = common.mode_from_args(a)
     for snr in [float(s) for s in a.snrs.split(",")]:
-        print(json.dumps(run_point(mode, snr, a.blocks, a.seed)), flush=True)
+        print(json.dumps({**run_point(mode, snr, a.blocks, a.seed, a.demap),
+                          "demap": a.demap}), flush=True)
     return 0
 
 

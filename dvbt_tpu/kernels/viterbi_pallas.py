@@ -61,10 +61,14 @@ def _viterbi_kernel(in_ref, out_ref, dec_ref, *, L, ov, body):
         rows = in_ref[pl.ds(wi * 32, 32), :]             # (32, 128)
         for k in range(32):
             row = rows[k: k + 1]                         # (1, 128)
-            bx, by = row & 1, (row >> 1) & 1
-            mx, my = (row >> 2) & 1, (row >> 3) & 1
-            bm0 = mx * (bx ^ pox0) + my * (by ^ poy0)    # (64, 128)
-            bm1 = (mx + my) - bm0                        # G1,G2 both odd
+            sx, sy = row & 15, (row >> 4) & 15           # soft 0..15
+            mx, my = (row >> 8) & 1, (row >> 9) & 1
+            # soft branch metric: cost(e, s) = s + e*(15 - 2s); hard inputs
+            # {0,15} reproduce hard Viterbi x15.  cost0 + cost1 = 15, so the
+            # d=1 metric is 15*(mx+my) - bm0 (G1, G2 both have the d tap).
+            bm0 = (mx * (sx + pox0 * (15 - 2 * sx))
+                   + my * (sy + poy0 * (15 - 2 * sy)))   # (64, 128)
+            bm1 = 15 * (mx + my) - bm0
             # predecessor butterfly as a pure sublane reshape (strided
             # slices would lower to a Mosaic gather)
             pm3 = pm.reshape(32, 2, LANES)
@@ -140,12 +144,12 @@ def make_viterbi_decoder(n_bits: int, body: int | None = None,
     )
 
     def decode(state, x, y, xm, ym):
-        packed = (x.astype(jnp.int32) | (y.astype(jnp.int32) << 1)
-                  | (xm.astype(jnp.int32) << 2) | (ym.astype(jnp.int32) << 3))
+        packed = (x.astype(jnp.int32) | (y.astype(jnp.int32) << 4)
+                  | (xm.astype(jnp.int32) << 8) | (ym.astype(jnp.int32) << 9))
         sp = (state["x"].astype(jnp.int32)
-              | (state["y"].astype(jnp.int32) << 1)
-              | (state["xm"].astype(jnp.int32) << 2)
-              | (state["ym"].astype(jnp.int32) << 3))
+              | (state["y"].astype(jnp.int32) << 4)
+              | (state["xm"].astype(jnp.int32) << 8)
+              | (state["ym"].astype(jnp.int32) << 9))
         # extended stream: [carried overlap | block | pad to windows | body]
         # (the extra `body` zeros make the overlapped windowing below a pure
         # pair of reshapes — no gather indices)

@@ -119,7 +119,8 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                   equalize: bool = True,
                   viterbi_body: int = viterbi.DEFAULT_BODY,
                   viterbi_overlap: int = viterbi.DEFAULT_OVERLAP,
-                  viterbi_impl: str = "auto"):
+                  viterbi_impl: str = "auto",
+                  demap: str = "hard"):
     """Returns (rx, n_packets, n_samples).
 
     rx(state, iq): complex64 (n_samples,) symbol-aligned baseband ->
@@ -142,9 +143,13 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
     chan_est = reference_signals.make_channel_estimator(mode)
     cell_dilv = reference_signals.make_cell_deinterleaver(mode)  # R3+R5 fused
     tps_dec = reference_signals.make_tps_decoder(mode)
+    assert demap in ("hard", "soft")
     qdemap = mapper.make_demapper(mode)
     qmap_points = mapper.make_mapper(mode)
     bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    if demap == "soft":
+        soft_demap = mapper.make_soft_demapper(mode)
+        soft_bit_dilv = bit_interleaver.make_soft_bit_deinterleaver(mode)
     hp_dec, n_pk_hp = _make_stream_decoder(
         mode, "hp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl)
     if mode.hierarchical:
@@ -171,7 +176,15 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         mer_db = 10.0 * jnp.log10(
             jnp.sum(jnp.abs(p_hat) ** 2)
             / jnp.maximum(jnp.sum(jnp.abs(err) ** 2), 1e-12))
-        bits = bit_dilv(cells)                         # (F, 68, C*v)
+        if demap == "soft":
+            # per-bit max-log metrics, permuted like the cells (v rides a
+            # leading batch axis through the row-take)
+            sm = jnp.moveaxis(soft_demap(X), -1, 1)    # (F, v, 68, K)
+            sm = jnp.moveaxis(cell_dilv(sm), 1, -1)    # (F, 68, C, v)
+            bits = soft_bit_dilv(sm)                   # (F, 68, C*v) 0..15
+        else:
+            # hard decisions as saturated soft metrics {0,15} for Viterbi
+            bits = bit_dilv(cells) * np.uint8(15)      # (F, 68, C*v)
         hp_state = {k: state[k] for k in
                     ("deint_tail", "viterbi", "descr_phase", "descr_locked")}
         if mode.hierarchical:

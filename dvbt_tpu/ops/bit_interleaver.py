@@ -55,6 +55,21 @@ def make_bit_interleaver(mode: DvbtMode):
     return jax.jit(interleave)
 
 
+def make_soft_bit_deinterleaver(mode: DvbtMode):
+    """Soft-metric variant: (..., n_sym, n_payload, v) per-bit soft values
+    (cell order, bit e = y_e) -> (..., n_sym, n_payload*v) coded-stream
+    order — same scatter indices as the hard path, values instead of bits."""
+    n_bits = mode.n_payload * mode.v
+
+    def deinterleave(soft: jnp.ndarray) -> jnp.ndarray:
+        flat_idx = _device_indices(mode).reshape(-1)
+        flat = soft.reshape(*soft.shape[:-2], n_bits)
+        out = jnp.zeros_like(flat)
+        return out.at[..., flat_idx].set(flat)
+
+    return jax.jit(deinterleave)
+
+
 def make_bit_deinterleaver(mode: DvbtMode):
     """Returns deinterleave(cells) : int32 (..., n_sym, n_payload)
     -> uint8 bits (..., n_sym, n_payload*v)."""

@@ -67,6 +67,43 @@ def make_mapper(mode: DvbtMode):
     return jax.jit(qam_map)
 
 
+def make_soft_demapper(mode: DvbtMode):
+    """Max-log-MAP per-bit soft demapper, 4-bit quantized.
+
+    Returns soft_demap(y): complex64 (...,) -> uint8 (..., v) soft metrics
+    in [0, 15] (7/8 = erasure, 15 = confident 1) scaled so a clean hard
+    decision saturates.  This is the beyond-parity option of SURVEY.md §7
+    hard part 6 (the reference chain is hard-decision only); feeding these
+    to the soft Viterbi buys ~2 dB over the hard chain.
+    """
+    c = mode.constellation_table().astype(np.complex64)
+    v = mode.v
+    pts = np.stack([c.real, c.imag], axis=0).astype(np.float32)
+    half_norm = (np.abs(c) ** 2 / 2).astype(np.float32)
+    # min squared distance between points differing in bit b, for scaling
+    d2 = np.abs(c[:, None] - c[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    dmin2 = float(d2.min())
+    bit_is1 = [((np.arange(1 << v) >> (v - 1 - b)) & 1).astype(bool)
+               for b in range(v)]
+
+    def soft_demap(y: jnp.ndarray) -> jnp.ndarray:
+        yr = jnp.stack([y.real, y.imag], axis=-1).astype(jnp.float32)
+        # score_c = 2*Re(y conj(c)) - |c|^2 = |y|^2 - |y - c|^2
+        score = jnp.dot(yr, pts, preferred_element_type=jnp.float32) \
+            - half_norm                                    # (..., 2^v)
+        outs = []
+        for b in range(v):
+            m1 = jnp.max(jnp.where(bit_is1[b], score, -jnp.inf), axis=-1)
+            m0 = jnp.max(jnp.where(bit_is1[b], -jnp.inf, score), axis=-1)
+            llr = m1 - m0  # = d0^2 - d1^2
+            s = jnp.clip(jnp.round(7.5 + 7.5 * llr / dmin2), 0.0, 15.0)
+            outs.append(s.astype(jnp.uint8))
+        return jnp.stack(outs, axis=-1)                    # (..., v)
+
+    return jax.jit(soft_demap)
+
+
 def make_demapper(mode: DvbtMode):
     c = mode.constellation_table().astype(np.complex64)
     pts = np.stack([c.real, c.imag], axis=0).astype(np.float32)  # (2, 2^v)

@@ -44,12 +44,18 @@ def _trellis():
     )
 
 
+SOFT_MAX = 15  # 4-bit soft scale; hard bits are fed as {0, 15}
+
+
 def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
                          overlap: int = DEFAULT_OVERLAP):
     """Returns decode(state, x, y, xm, ym) -> (state', bits).
 
-    x, y   : uint8 (n_bits,) hard mother-code bits (erasure positions
-             arbitrary)
+    x, y   : uint8 (n_bits,) SOFT mother-code bit metrics in [0, 15]
+             (confidence the bit is 1; hard decisions are 0/15, erasure
+             positions arbitrary).  Branch metric for an expected bit e is
+             x when e=0 and 15-x when e=1, so hard inputs reproduce the
+             hard-decision Viterbi scaled by 15.
     xm, ym : uint8 (n_bits,) 1 where the bit was transmitted (depuncture
              masks)
     state  : dict with 'x','y','xm','ym' uint8 (overlap,) tails of the
@@ -102,8 +108,10 @@ def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
 
         def step(pm, inputs):
             bx, by, bxm, bym = inputs  # (n_win,)
-            mx = bxm[:, None, None] * (bx[:, None, None] != pox[None])
-            my = bym[:, None, None] * (by[:, None, None] != poy[None])
+            # soft branch metric: cost(e, s) = s + e*(15 - 2s)
+            sx, sy = bx[:, None, None], by[:, None, None]
+            mx = bxm[:, None, None] * (sx + pox[None] * (SOFT_MAX - 2 * sx))
+            my = bym[:, None, None] * (sy + poy[None] * (SOFT_MAX - 2 * sy))
             bm = (mx + my).astype(jnp.int32)              # (n_win, 64, 2)
             A = pm.reshape(n_win, 32, 2)                  # A[:, j, d]=pm[2j+d]
             cand = jnp.concatenate([A, A], axis=1) + bm   # (n_win, 64, 2)

@@ -134,7 +134,7 @@ def make_rx_state_from_halo(mode: DvbtMode):
         cells = cell_dilv(qdemap(X))                  # (68, n_payload)
         cells = jax.lax.dynamic_slice(
             cells, (first_sym, 0), (H, mode.n_payload))
-        bits = bit_dilv(cells).reshape(-1)            # (H * coded bits,)
+        bits = bit_dilv(cells).reshape(-1) * np.uint8(15)  # hard -> {0,15}
         x, y, xm, ym = depunct(bits)
         xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
         ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)

@@ -81,3 +81,28 @@ def test_ber_waterfall_position():
     hi = run_point(MODE_2K_QPSK, 7.0, 2)
     assert lo["per"] > 0.3
     assert hi["per"] == 0.0 and hi["ber_post_rs"] == 0.0
+
+
+def test_soft_demap_beats_hard():
+    # at 4 dB the hard QPSK 1/2 chain is past its waterfall while the soft
+    # max-log chain still decodes cleanly (~2 dB soft-decision gain)
+    from dvbt_tpu.apps.ber_sweep import run_point
+    hard = run_point(MODE_2K_QPSK, 4.0, 2, demap="hard")
+    soft = run_point(MODE_2K_QPSK, 4.0, 2, demap="soft")
+    assert hard["per"] > 0.05
+    assert soft["per"] == 0.0 and soft["ber_post_rs"] == 0.0
+
+
+def test_soft_demap_noiseless_byte_exact():
+    mode = DvbtMode("2k", "64qam", "2/3")
+    tx, n_pk, _ = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode, demap="soft")
+    packets = tsio.make_ts_packets(n_pk * 2, seed=6)
+    tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+    outs = []
+    for b in range(2):
+        tst, iq = tx(tst, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
+        rst, out, _ = rx(rst, iq)
+        outs.append(np.asarray(out))
+    out = np.concatenate(outs)
+    assert np.array_equal(out[DELAY:], packets[:len(out) - DELAY])

@@ -19,7 +19,7 @@ def _roundtrip(rate, n, flip=0, seed=0, body=512, overlap=96):
         pos = rng.choice(len(coded), size=flip, replace=False)
         coded[pos] ^= 1
     dep = inner_coder.make_depuncture(n, rate)
-    x, y, xm, ym = dep(jnp.asarray(coded))
+    x, y, xm, ym = dep(jnp.asarray(coded * np.uint8(15)))
     xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
     ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
     dec = viterbi.make_viterbi_decoder(n, body=body, overlap=overlap)
@@ -48,7 +48,7 @@ def test_viterbi_state_carry_matches_single_block():
     enc = inner_coder.make_inner_coder(n, rate)
     _, coded = enc(inner_coder.init_state(), jnp.asarray(bits))
     dep = inner_coder.make_depuncture(n, rate)
-    x, y, xm, ym = (np.asarray(a) for a in dep(coded))
+    x, y, xm, ym = (np.asarray(a) for a in dep(coded * np.uint8(15)))
     xm = np.broadcast_to(xm, x.shape).astype(np.uint8)
     ym = np.broadcast_to(ym, y.shape).astype(np.uint8)
 

@@ -28,7 +28,7 @@ def _encode(bits, rate, n_bits):
     coder = inner_coder.make_inner_coder(n_bits, rate)
     _, coded = coder(inner_coder.init_state(), jnp.asarray(bits))
     depunct = inner_coder.make_depuncture(n_bits, rate)
-    return depunct(coded)
+    return depunct(coded * 15)
 
 
 @pytest.mark.parametrize("rate,n_bits,flips", [
@@ -50,9 +50,9 @@ def test_pallas_matches_jnp_blocks(rate, n_bits, flips):
         x, y = np.array(x), np.array(y)
         if flips:
             pos = rng.choice(n_bits, flips, replace=False)
-            x[pos] ^= 1
+            x[pos] = 15 - x[pos]
             pos = rng.choice(n_bits, flips, replace=False)
-            y[pos] ^= 1
+            y[pos] = 15 - y[pos]
         xm = np.broadcast_to(np.asarray(xm), x.shape).astype(np.uint8)
         ym = np.broadcast_to(np.asarray(ym), y.shape).astype(np.uint8)
         args = tuple(jnp.asarray(a) for a in (x, y, xm, ym))
