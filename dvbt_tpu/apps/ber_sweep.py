@@ -29,19 +29,21 @@ def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0,
     import jax.numpy as jnp
 
     tx, n_pk, _ = txm.make_transmitter(mode)
-    rx, _, _ = rxm.make_receiver(mode, demap=demap)
+    rx, _, _ = rxm.make_receiver(mode, demap=demap, measure_pre_rs=True)
     packets = tsio.make_ts_packets(n_pk * n_blocks, seed=seed)
     tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
     key = jax.random.PRNGKey(seed + 1)
-    outs, bads = [], []
+    outs, bads, pre_errs = [], [], []
     for b in range(n_blocks):
         tst, iq = tx(tst, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
         key, sub = jax.random.split(key)
         rst, out, m = rx(rst, channel.awgn(sub, iq, snr_db))
         outs.append(np.asarray(out))
         bads.append(np.asarray(m["rs_uncorrectable"]))
+        pre_errs.append(np.asarray(m["pre_rs_bit_errors"]))
     out = np.concatenate(outs)[DELAY_PACKETS:]
     bad = np.concatenate(bads)[DELAY_PACKETS:]
+    pre = np.concatenate(pre_errs)[DELAY_PACKETS:]
     want = packets[: len(out)]
 
     # post-RS: byte/bit errors on the recovered TS
@@ -49,13 +51,17 @@ def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0,
     bit_err_rs = int(np.unpackbits(out ^ want).sum())
     n_bits = out.size * 8
 
-    # post-Viterbi: reconstruct what the RS input should have been by
-    # re-encoding the known TX stream is equivalent to comparing the decoded
-    # output where RS was uncorrectable (RS is bounded-distance: per packet
-    # <=8 byte corrections). Approximate pre-RS BER from corrected counts.
+    # post-Viterbi (pre-RS) BER: exact on correctable packets — the receiver
+    # re-encodes each corrected RS message and XORs with its received 204-B
+    # codeword (metrics["pre_rs_bit_errors"]); uncorrectable packets are
+    # excluded (their true error count is unknowable, >= 9 bytes).
+    ok = bad == 0
+    pre_rs_bits = int(ok.sum()) * 204 * 8
     per = float(bad.mean()) if len(bad) else 0.0
     return {
         "snr_db": snr_db,
+        "ber_post_viterbi": (float(pre[ok].sum()) / pre_rs_bits
+                             if pre_rs_bits else None),
         "ber_post_rs": bit_err_rs / n_bits if n_bits else None,
         "byte_err_post_rs": int(diff.sum()),
         "per": per,

@@ -65,7 +65,9 @@ def main(argv=None) -> int:
     # align decoded stream to TX packets via the header counter in bytes 1:3
     n_err_bytes = n_cmp = 0
     if len(out) > DELAY_PACKETS:
-        k0 = (reports[0].stream_offset + a.offset + 8) // mode.samples_per_block
+        from ..ops import sync as syncop
+        k0 = ((reports[0].stream_offset + a.offset + syncop.DEFAULT_BACKOFF)
+              // mode.samples_per_block)
         want = packets[k0 * n_pk:]
         got = out[DELAY_PACKETS:]
         n = min(len(got), len(want))

@@ -48,6 +48,8 @@ class DvbtMode:
     alpha: int = 0                    # 0 = non-hierarchical; else 1 | 2 | 4
     code_rate_lp: str = "1/2"
     cell_id: int = 0
+    cell_id_on: bool = False          # transmit cell id in TPS (s17..22 flips
+                                      # to 011111) — reference `include_cell_id`
 
     def __post_init__(self):
         assert self.transmission in ("2k", "8k"), self.transmission
@@ -204,7 +206,7 @@ class DvbtMode:
         return tables.tps_frame_bits(
             frame_idx % 4, self.v, self.alpha, self.code_rate,
             self.code_rate_lp if self.hierarchical else self.code_rate,
-            self.guard, self.transmission, self.cell_id,
+            self.guard, self.transmission, self.cell_id, self.cell_id_on,
         )
 
 

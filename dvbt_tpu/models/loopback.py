@@ -151,8 +151,19 @@ class StreamingReceiver:
         """Serialize the full receiver state (carried pytree + lock FSM +
         sample buffer) for mid-stream resume."""
         from ..utils import checkpoint as ckpt
-        n = self._ring.readable
-        buf = (np.array(self._ring.peek(n)) if n
+        # drain in <= max_read chunks (ring_peek returns NULL past max_read)
+        # and write the samples straight back: content and readable count are
+        # unchanged, only the internal head moves.
+        chunks = []
+        while self._ring.readable:
+            chunk = np.array(self._ring.peek(
+                min(self._ring.readable, self.capture_samples)))
+            self._ring.consume(len(chunk))
+            chunks.append(chunk)
+        for chunk in chunks:
+            wrote = self._ring.write(chunk)
+            assert wrote == len(chunk)
+        buf = (np.concatenate(chunks) if chunks
                else np.zeros((0,), np.complex64))
         ckpt.save_state(
             path, self.rx_state,

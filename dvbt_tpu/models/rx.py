@@ -56,7 +56,12 @@ def init_rx_state(mode: DvbtMode,
 
 
 def _pick_viterbi(impl: str):
-    """'auto' uses the Pallas TPU kernel off-CPU, the jnp scan on CPU."""
+    """'auto' uses the Pallas TPU kernel off-CPU, the jnp scan on CPU.
+
+    Both implementations take (n_bits, body, overlap) with body=None meaning
+    "auto-tune" (lane-filling window for Pallas, DEFAULT_BODY for jnp); a
+    caller-supplied viterbi_body is honored on either path.
+    """
     if impl == "auto":
         import os
         impl = os.environ.get("DVBT_VITERBI", "")
@@ -64,15 +69,13 @@ def _pick_viterbi(impl: str):
             impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
     if impl == "pallas":
         from ..kernels import viterbi_pallas
-        return lambda n_bits, body, overlap: \
-            viterbi_pallas.make_viterbi_decoder(
-                n_bits, body=None, overlap=overlap)
-    return lambda n_bits, body, overlap: \
-        viterbi.make_viterbi_decoder(n_bits, body=body, overlap=overlap)
+        return viterbi_pallas.make_viterbi_decoder
+    return viterbi.make_viterbi_decoder
 
 
 def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
-                         viterbi_body, viterbi_overlap, viterbi_impl):
+                         viterbi_body, viterbi_overlap, viterbi_impl,
+                         measure_pre_rs: bool = False):
     """Per-stream byte pipeline: coded bits -> TS packets (R7..R10)."""
     n_packets = mode.stream_packets_per_block(stream) * n_blocks
     n_bytes = n_packets * RS_PACKET
@@ -85,6 +88,8 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
     out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
     rs_dec = reed_solomon.make_rs_decoder()
     descramble = energy.make_energy_dispersal(n_packets)
+    if measure_pre_rs:
+        rs_reenc = reed_solomon.make_rs_encoder()
 
     def run(state: dict, coded_bits: jnp.ndarray):
         x, y, xm, ym = depunct(coded_bits)
@@ -110,6 +115,16 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
             "descr_locked": state["descr_locked"] | credible,
         }
         metrics = {"rs_corrected": rs_corr, "rs_uncorrectable": rs_bad}
+        if measure_pre_rs:
+            # exact post-Viterbi (pre-RS) bit errors per CORRECTABLE packet:
+            # re-encoding the corrected message reproduces the transmitted
+            # codeword, so XOR with the received bytes counts channel errors
+            # that the Viterbi stage left behind.  Uncorrectable packets are
+            # masked (their error count is unknown, >= 9 bytes).
+            diff = packets204 ^ rs_reenc(msg)
+            nbits = bitutils.bytes_to_bits(diff).sum(
+                axis=-1, dtype=jnp.int32)
+            metrics["pre_rs_bit_errors"] = jnp.where(rs_bad, 0, nbits)
         return new_state, ts, metrics
 
     return run, n_packets
@@ -117,10 +132,11 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
 
 def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                   equalize: bool = True,
-                  viterbi_body: int = viterbi.DEFAULT_BODY,
+                  viterbi_body: int | None = None,
                   viterbi_overlap: int = viterbi.DEFAULT_OVERLAP,
                   viterbi_impl: str = "auto",
-                  demap: str = "hard"):
+                  demap: str = "hard",
+                  measure_pre_rs: bool = False):
     """Returns (rx, n_packets, n_samples).
 
     rx(state, iq): complex64 (n_samples,) symbol-aligned baseband ->
@@ -151,10 +167,12 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         soft_demap = mapper.make_soft_demapper(mode)
         soft_bit_dilv = bit_interleaver.make_soft_bit_deinterleaver(mode)
     hp_dec, n_pk_hp = _make_stream_decoder(
-        mode, "hp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl)
+        mode, "hp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl,
+        measure_pre_rs)
     if mode.hierarchical:
         lp_dec, n_pk_lp = _make_stream_decoder(
-            mode, "lp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl)
+            mode, "lp", n_blocks, viterbi_body, viterbi_overlap, viterbi_impl,
+            measure_pre_rs)
 
     def rx(state: dict, iq: jnp.ndarray):
         frames = iq.reshape(n_frames, -1)
@@ -196,18 +214,15 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             new_state = dict(hp_state)
             new_state["lp"] = lp_state
             metrics = {
-                "rs_corrected": m_hp["rs_corrected"],
-                "rs_uncorrectable": m_hp["rs_uncorrectable"],
-                "lp_rs_corrected": m_lp["rs_corrected"],
-                "lp_rs_uncorrectable": m_lp["rs_uncorrectable"],
+                **m_hp,
+                **{f"lp_{k}": v for k, v in m_lp.items()},
                 "tps_bits": tps_bits, "tps_frame": tps_frame,
                 "mer_db": mer_db,
             }
             return new_state, (ts_hp, ts_lp), metrics
         hp_state, ts, m = hp_dec(hp_state, bits.reshape(-1))
         metrics = {
-            "rs_corrected": m["rs_corrected"],
-            "rs_uncorrectable": m["rs_uncorrectable"],
+            **m,
             "tps_bits": tps_bits,
             "tps_frame": tps_frame,
             "mer_db": mer_db,

@@ -110,18 +110,3 @@ def make_symbol_acquisition(mode: DvbtMode, n_samples: int):
         return theta, cfo
 
     return jax.jit(acquire)
-
-
-def make_cfo_corrector(n_samples: int, fft_len: int):
-    """Returns correct(iq, cfo_frac, phase0) -> (iq', phase1): NCO derotation
-    by cfo_frac subcarrier spacings; phase is carried across blocks."""
-    n = np.arange(n_samples, dtype=np.float32)
-
-    def correct(iq: jnp.ndarray, cfo: jnp.ndarray, phase0: jnp.ndarray):
-        ang = -2.0 * jnp.pi * cfo[..., None] * n / fft_len + phase0[..., None]
-        rot = jnp.exp(1j * ang).astype(jnp.complex64)
-        phase1 = jnp.angle(jnp.exp(1j * (
-            -2.0 * jnp.pi * cfo * n_samples / fft_len + phase0)))
-        return iq * rot, phase1.astype(jnp.float32)
-
-    return jax.jit(correct)

@@ -47,7 +47,7 @@ def _trellis():
 SOFT_MAX = 15  # 4-bit soft scale; hard bits are fed as {0, 15}
 
 
-def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
+def make_viterbi_decoder(n_bits: int, body: int | None = None,
                          overlap: int = DEFAULT_OVERLAP):
     """Returns decode(state, x, y, xm, ym) -> (state', bits).
 
@@ -69,6 +69,8 @@ def make_viterbi_decoder(n_bits: int, body: int = DEFAULT_BODY,
     """
     pred_np, pox_np, poy_np = _trellis()
 
+    if body is None:
+        body = DEFAULT_BODY
     n_win = -(-n_bits // body)
     padded = n_win * body
 

@@ -286,10 +286,10 @@ BIT_ILV_BLOCK = 126
 #: substream index), EN300744 §4.3.4.1.  Hierarchical maps HP to (b0,b1).
 DEMUX = {
     (2, False): (0, 1),
-    (4, False): (0, 2, 1, 3),
-    (6, False): (0, 3, 1, 4, 2, 5),
+    (4, False): (0, 2, 1, 3),         # x0->b0, x1->b2, x2->b1, x3->b3
+    (6, False): (0, 2, 4, 1, 3, 5),   # x0->b0, x1->b2, x2->b4, x3->b1, x4->b3, x5->b5
     (4, True): (0, 1, 2, 3),          # HP: x0,x1 -> b0,b1 ; LP: x0',x1' -> b2,b3
-    (6, True): (0, 1, 2, 4, 3, 5),    # HP -> b0,b1 ; LP x0..x3 -> b2,b4,b3,b5
+    (6, True): (0, 1, 2, 4, 3, 5),    # HP -> b0,b1 ; LP x''0..x''3 -> b2,b4,b3,b5
 }
 
 
@@ -509,10 +509,15 @@ TPS_MODE_BITS = {"2k": (0, 0), "8k": (0, 1)}
 
 
 def _bch_67_53_parity(bits53: np.ndarray) -> np.ndarray:
-    """14 parity bits of the shortened BCH(67,53) code over s1..s53."""
-    # polynomial division of bits53 * x^14 by TPS_BCH_POLY over GF(2)
+    """14 parity bits of the shortened BCH(67,53) code over s1..s53.
+
+    Systematic encoding: parity = (m(x) * x^14) mod g(x) — the 14 appended
+    zero bits realize the x^14 shift (round-1 omitted them, which produced
+    m(x) mod g: a codeword that fails the BCH check on a real receiver;
+    caught by tests/test_golden.py's independent construction).
+    """
     reg = 0
-    for b in bits53:
+    for b in list(bits53) + [0] * 14:
         reg = (reg << 1) | int(b)
         if reg & (1 << 14):
             reg ^= TPS_BCH_POLY
@@ -528,22 +533,25 @@ def tps_frame_bits(
     guard: str,
     mode: str,
     cell_id: int = 0,
+    cell_id_on: bool = False,
 ) -> np.ndarray:
     """The 68 TPS bits s0..s67 of one frame. [EN300744 §4.6]
 
     s0: initialisation (value irrelevant to the bitstream; the modulation
     initial state comes from w_k) — set 0 here.  s1..s16 sync word (inverted
-    on frames 1 and 3); s17..s22 length indicator 010111; s23..24 frame
-    number; s25..26 constellation; s27..29 hierarchy; s30..35 HP/LP code
-    rates; s36..37 guard; s38..39 mode; s40..s53 cell id / reserved (0);
-    s54..67 BCH(67,53) parity.
+    on frames 1 and 3); s17..s22 length indicator: 010111 (23 used bits)
+    normally, 011111 (31) when the cell identifier is transmitted
+    [EN300744 §4.6.2.1] — ``cell_id_on`` mirrors the reference block's
+    `include_cell_id` parameter; s23..24 frame number; s25..26 constellation;
+    s27..29 hierarchy; s30..35 HP/LP code rates; s36..37 guard; s38..39 mode;
+    s40..s53 cell id / reserved (0); s54..67 BCH(67,53) parity.
     """
     s = np.zeros(68, dtype=np.uint8)
     sync = np.array(TPS_SYNC, dtype=np.uint8)
     if frame_idx % 2 == 1:
         sync = 1 - sync
     s[1:17] = sync
-    s[17:23] = (0, 1, 0, 1, 1, 1)
+    s[17:23] = (0, 1, 1, 1, 1, 1) if cell_id_on else (0, 1, 0, 1, 1, 1)
     s[23] = (frame_idx >> 1) & 1
     s[24] = frame_idx & 1
     s[25:27] = TPS_CONSTELLATION_BITS[constellation_v]
@@ -552,7 +560,8 @@ def tps_frame_bits(
     s[33:36] = TPS_CODE_RATE_BITS[code_rate_lp]
     s[36:38] = TPS_GUARD_BITS[guard]
     s[38:40] = TPS_MODE_BITS[mode]
-    for i in range(14):
-        s[40 + i] = (cell_id >> (13 - i)) & 1
+    if cell_id_on:
+        for i in range(14):
+            s[40 + i] = (cell_id >> (13 - i)) & 1
     s[54:68] = _bch_67_53_parity(s[1:54])
     return s
