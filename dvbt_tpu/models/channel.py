@@ -38,6 +38,24 @@ def apply_delay(iq: jnp.ndarray, delay: int) -> jnp.ndarray:
     return jnp.concatenate([pad, iq], axis=-1)[..., : iq.shape[-1]]
 
 
+def resample_ppm(iq, ppm: float):
+    """Sample-clock offset: resample by a factor (1 + ppm*1e-6).
+
+    Host-side (numpy) linear interpolation — models a receiver ADC whose
+    clock runs `ppm` parts-per-million FAST relative to the transmitter
+    (ppm > 0 squeezes the waveform: each output sample advances less signal
+    time, so symbol boundaries drift later in the sample stream).
+    """
+    import numpy as np
+    x = np.asarray(iq, np.complex64)
+    f = 1.0 + ppm * 1e-6
+    n_out = int(np.floor((len(x) - 1) * f))
+    pos = np.arange(n_out) / f          # signal time of each output sample
+    t = np.arange(len(x))
+    return (np.interp(pos, t, x.real) + 1j * np.interp(pos, t, x.imag)
+            ).astype(np.complex64)
+
+
 def multipath(iq: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """Static FIR multipath (taps complex, tap 0 = line of sight)."""
     out = jnp.zeros_like(iq)

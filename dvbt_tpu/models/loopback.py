@@ -39,6 +39,8 @@ class StreamReport:
     info: dict                   # sync estimates (only fresh on reacquire)
     packets_lp: np.ndarray | None = None   # hierarchical LP stream
     lp_rs_uncorrectable: np.ndarray | None = None
+    timing_tau: float | None = None        # median symbol-timing offset (samp)
+    timing_adj: int = 0                    # SCO correction applied after block
 
 
 class StreamingReceiver:
@@ -50,7 +52,8 @@ class StreamingReceiver:
 
     def __init__(self, mode: DvbtMode, n_frames: int | None = None,
                  max_int_cfo: int = syncop.DEFAULT_MAX_INT_CFO,
-                 relock_threshold: float = 0.5):
+                 relock_threshold: float = 0.5,
+                 sco_tracking: bool = True):
         self.mode = mode
         if n_frames is None:
             n_frames = mode.frames_per_block
@@ -76,6 +79,14 @@ class StreamingReceiver:
         self.phase = jnp.float32(0.0)
         self.rx_state = rxm.init_rx_state(mode)
         self.last_info: dict = {}
+        # SCO / fine-timing loop (SURVEY.md §2.2 R1: the reference re-times
+        # every symbol; here the per-block pilot-slope estimate nudges the
+        # stream offset): tau_ref is the timing readout captured right after
+        # (re)acquisition, the controller consumes round(tau - tau_ref)
+        # extra/fewer samples after each credible block.
+        self.sco_tracking = sco_tracking
+        self._tau_ref: float | None = None
+        self._max_adj = max(1, mode.guard_len // 4)
 
     def _need(self) -> int:
         return self.block_samples if self.locked else self.capture_samples
@@ -104,12 +115,15 @@ class StreamingReceiver:
 
     def _step(self) -> StreamReport:
         reacq = not self.locked
+        pending_consume = 0
         if self.locked:
             iq = tsio.device_put_complex(self._peek(self.block_samples))
             aligned, self.phase = self.track(
                 iq, self.cfo_frac, self.cfo_int, self.phase)
             block_off = self._stream_pos
-            self._consume(self.block_samples)
+            # consumed after decode: the SCO loop may retard/advance the
+            # next window by a few samples based on this block's timing
+            pending_consume = self.block_samples
         else:
             capture = tsio.device_put_complex(
                 self._peek(self.capture_samples))
@@ -131,8 +145,31 @@ class StreamingReceiver:
 
         self.rx_state, ts, metrics = self.rx(self.rx_state, aligned)
         bad = np.asarray(metrics["rs_uncorrectable"])
-        if not reacq and bad.mean() > self.relock_threshold:
+        credible = bad.mean() <= self.relock_threshold
+
+        # --- SCO / fine-timing loop (VERDICT r1 item 4) --------------------
+        tau_med = None
+        adj = 0
+        if "timing_tau" in metrics:
+            tau_med = float(np.median(np.asarray(metrics["timing_tau"])))
+        if tau_med is not None and credible:
+            if reacq or self._tau_ref is None:
+                self._tau_ref = tau_med
+            elif self.sco_tracking:
+                adj = int(round(tau_med - self._tau_ref))
+                adj = max(-self._max_adj, min(self._max_adj, adj))
+        if pending_consume:
+            self._consume(pending_consume + adj)
+            if adj:  # keep the NCO continuous across the skipped samples
+                cfo = float(self.cfo_frac) + float(self.cfo_int)
+                self.phase = jnp.float32(
+                    (float(self.phase)
+                     - 2.0 * np.pi * cfo * adj / self.mode.fft_len)
+                    % (2.0 * np.pi))
+
+        if not reacq and not credible:
             self.locked = False  # lock lost: next block does a full search
+            self._tau_ref = None
         hier = isinstance(ts, tuple)
         return StreamReport(
             packets=np.asarray(ts[0] if hier else ts),
@@ -144,6 +181,8 @@ class StreamingReceiver:
             packets_lp=np.asarray(ts[1]) if hier else None,
             lp_rs_uncorrectable=(np.asarray(metrics["lp_rs_uncorrectable"])
                                  if hier else None),
+            timing_tau=tau_med,
+            timing_adj=adj,
         )
 
     # --- checkpoint / resume (SURVEY.md §5.4) -----------------------------

@@ -180,6 +180,14 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         if equalize:
             H = chan_est(carriers)
             X = carriers / H
+            # per-symbol timing offset from the channel phase slope: a delay
+            # of tau samples gives H(k) ~ exp(-j 2 pi k tau / N), so the
+            # power-weighted mean carrier-to-carrier rotation reads tau out
+            # directly.  Feeds the SCO tracking loop in models/loopback.py
+            # (the reference re-times every symbol in R1; SURVEY.md §2.2).
+            dphi = jnp.sum(H[..., 1:] * jnp.conj(H[..., :-1]), axis=-1)
+            timing_tau = (-jnp.angle(dphi)
+                          * (mode.fft_len / (2.0 * np.pi))).reshape(-1)
         else:
             X = carriers
         tps_bits, tps_frame = tps_dec(X)
@@ -219,6 +227,8 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                 "tps_bits": tps_bits, "tps_frame": tps_frame,
                 "mer_db": mer_db,
             }
+            if equalize:
+                metrics["timing_tau"] = timing_tau
             return new_state, (ts_hp, ts_lp), metrics
         hp_state, ts, m = hp_dec(hp_state, bits.reshape(-1))
         metrics = {
@@ -227,6 +237,8 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             "tps_frame": tps_frame,
             "mer_db": mer_db,
         }
+        if equalize:
+            metrics["timing_tau"] = timing_tau
         return hp_state, ts, metrics
 
     n_packets = (n_pk_hp, n_pk_lp) if mode.hierarchical else n_pk_hp
