@@ -181,3 +181,215 @@ def make_viterbi_decoder(n_bits: int, body: int | None = None,
 def init_state(overlap: int = DEFAULT_OVERLAP):
     z = jnp.zeros((overlap,), jnp.uint8)
     return {"x": z, "y": z, "xm": z, "ym": z}
+
+
+# ---------------------------------------------------------------------------
+# Rate-specialized punctured decoder: coded stream in, bytes out.
+#
+# The general kernel above takes the DEPUNCTURED (x, y, masks) stream — four
+# full-length uint8 tensors that the round-2 hardware ablation showed cost
+# ~9 ms/step (MUX=8) to build plus ~5 ms to unpack/pack the decoded bits.
+# Puncturing is a static periodic pattern [EN300744 Table 3], so a decoder
+# specialized on the code rate needs neither: it reads the PUNCTURED soft
+# stream directly (windowed by two reshapes), resolves the pattern at trace
+# time (masked steps contribute a statically-zero branch metric), and its
+# traceback packs the decoded bits into BYTES in VMEM, so the only HBM
+# tensors are the coded input and the decoded byte stream.
+# ---------------------------------------------------------------------------
+
+
+def _pattern(rate: str):
+    """(period, keep, rank) where rank[r] = kept-index of mother position r
+    within one period's serial output, or -1 if punctured."""
+    from .. import tables
+    order = tables.puncture_serial_order(rate)
+    period = len(tables.PUNCTURE[rate][0])
+    rank = [-1] * (2 * period)
+    for i, o in enumerate(order):
+        rank[int(o)] = i
+    return period, len(order), tuple(rank)
+
+
+def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
+                      ov):
+    """in_ref: (Lc, 128) uint8 soft coded values (0..15); out_ref:
+    (L//8, 128) uint8 decoded bytes; dec_ref: (L//32, 64, 128) uint32."""
+    period, keep, rank = _pattern(rate)
+    W = 32 * period if period % 2 else 32    # steps per fwd iteration
+    Wc = W // period * keep                  # coded rows per iteration
+    n_iter = L // W
+    n_words = W // 32                        # decision words per iteration
+
+    s = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, LANES), 0)
+    pox0 = _parity((s << 1) & G1)            # d=0 branch outputs per state
+    poy0 = _parity((s << 1) & G2)
+    # per-lane count of VALID extended-stream steps: window w covers steps
+    # [w*body, w*body + L) of [carried ov | n_bits data | zero pad]; the pad
+    # must contribute ZERO branch metric (erasure), like the masked pad of
+    # the jnp reference — zeros would read as strong '0' bits
+    w_ids = (pl.program_id(0) * LANES
+             + jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1))
+    vc = ov + n_bits - w_ids * body          # (1, 128)
+
+    def fwd_iter(wi, pm):
+        rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)  # (Wc, 128)
+        decw = [jnp.zeros((N_STATES, LANES), jnp.uint32)
+                for _ in range(n_words)]
+        for k in range(W):
+            q = k % period
+            base = (k // period) * keep
+            rx_, ry_ = rank[2 * q], rank[2 * q + 1]
+            valid = (vc > wi * W + k).astype(jnp.int32)        # (1, 128)
+            # static puncture pattern: a masked tap contributes nothing
+            terms0 = []
+            const1 = 0
+            if rx_ >= 0:
+                sx = rows[base + rx_: base + rx_ + 1]          # (1, 128)
+                terms0.append(sx + pox0 * (15 - 2 * sx))
+                const1 += 15
+            if ry_ >= 0:
+                sy = rows[base + ry_: base + ry_ + 1]
+                terms0.append(sy + poy0 * (15 - 2 * sy))
+                const1 += 15
+            bm0 = terms0[0] if terms0 else jnp.zeros(
+                (N_STATES, LANES), jnp.int32)
+            for t in terms0[1:]:
+                bm0 = bm0 + t
+            bm0 = bm0 * valid
+            bm1 = const1 * valid - bm0
+            pm3 = pm.reshape(32, 2, LANES)
+            even, odd = pm3[:, 0], pm3[:, 1]
+            c0 = jnp.concatenate([even, even], axis=0) + bm0
+            c1 = jnp.concatenate([odd, odd], axis=0) + bm1
+            dec = c1 < c0
+            pm = jnp.minimum(c0, c1)
+            j = k // 32
+            decw[j] = decw[j] | (dec.astype(jnp.uint32) << np.uint32(k % 32))
+        for j in range(n_words):
+            dec_ref[pl.ds(wi * n_words + j, 1)] = decw[j][None]
+        return pm
+
+    pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
+    pm_fin = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
+
+    # traceback (reverse), packing 8 decoded bits per BYTE row (MSB-first)
+    pm_min = jnp.min(pm_fin, axis=0, keepdims=True)
+    s_end = jnp.min(jnp.where(pm_fin == pm_min, s, N_STATES),
+                    axis=0, keepdims=True)
+
+    def bwd_word(i, st):
+        wi = L // 32 - 1 - i
+        w = dec_ref[pl.ds(wi, 1)][0]                     # (64, 128) uint32
+        by = [jnp.zeros((1, LANES), jnp.uint32) for _ in range(4)]
+        for k in range(31, -1, -1):
+            sel = s == st
+            wbit = ((w >> np.uint32(k)) & 1).astype(jnp.int32)
+            dbit = jnp.sum(jnp.where(sel, wbit, 0), axis=0, keepdims=True)
+            j = k // 8
+            by[j] = by[j] | ((st >> 5).astype(jnp.uint32)
+                             << np.uint32(7 - (k % 8)))
+            st = ((st & 31) << 1) | dbit
+        out_ref[pl.ds(wi * 4, 4), :] = jnp.concatenate(
+            by, axis=0).astype(jnp.uint8)
+        return st
+
+    jax.lax.fori_loop(0, L // 32, bwd_word, s_end)
+
+
+def punct_geometry(n_bits: int, rate: str, body: int | None = None,
+                   overlap: int = DEFAULT_OVERLAP):
+    """(body, overlap) satisfying the punctured kernel's alignment:
+    overlap and body multiples of lcm(8, period); (body+2*overlap) a
+    multiple of the fwd iteration width (32*period for odd periods)."""
+    import math
+    period, _, _ = _pattern(rate)
+    align = 8 * period // math.gcd(8, period)
+    ov = -(-overlap // align) * align
+    W = 32 * period if period % 2 else 32
+    b = body if body is not None else auto_body(n_bits)
+    b = -(-b // align) * align
+    while (b + 2 * ov) % W:
+        b += align
+    return b, ov
+
+
+def make_viterbi_decoder_punctured(n_bits: int, rate: str,
+                                   body: int | None = None,
+                                   overlap: int = DEFAULT_OVERLAP,
+                                   interpret: bool = False):
+    """Rate-specialized decoder: decode(state, coded) -> (state', bytes).
+
+    coded : uint8 (n_coded,) PUNCTURED soft stream (0..15), n_coded =
+            n_bits//period*keep — straight out of the bit deinterleaver.
+    state : the same {'x','y','xm','ym'} (overlap,) pytree as the general
+            decoders (impl-independent checkpoints); overlap must equal
+            ops.viterbi.effective_overlap(rate, ...).
+    bytes : uint8 (n_bits//8,) decoded info bytes (MSB-first).
+    """
+    period, keep, rank = _pattern(rate)
+    body, ov = punct_geometry(n_bits, rate, body, overlap)
+    L = body + 2 * ov
+    n_win = -(-n_bits // body)
+    nw = -(-n_win // LANES) * LANES
+    body_c = body // period * keep
+    ov_c = ov // period * keep
+    Lc = L // period * keep
+    L8 = L // 8
+    n_c = n_bits // period * keep
+
+    kern = functools.partial(_vit_punct_kernel, L=L, rate=rate,
+                             n_bits=n_bits, body=body, ov=ov)
+    call = pl.pallas_call(
+        kern,
+        grid=(nw // LANES,),
+        in_specs=[pl.BlockSpec((Lc, LANES), lambda c: (0, c),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((L8, LANES), lambda c: (0, c),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((L8, nw), jnp.uint8),
+        scratch_shapes=[pltpu.VMEM((L // 32, N_STATES, LANES), jnp.uint32)],
+        interpret=interpret,
+    )
+
+    def _puncture_tail(x, y):
+        """(ov,) x/y tails -> (ov_c,) coded tail (tiny, state conversion)."""
+        xg = x.reshape(ov // period, period)
+        yg = y.reshape(ov // period, period)
+        from .. import tables
+        order = tables.puncture_serial_order(rate)
+        cols = [xg[:, o // 2] if o % 2 == 0 else yg[:, o // 2] for o in order]
+        return jnp.stack(cols, axis=-1).reshape(-1)
+
+    def _depuncture_tail(ct):
+        """(ov_c,) coded tail -> x,y,xm,ym (ov,) each (tiny)."""
+        c = ct.reshape(ov // period, keep)
+        zeros = jnp.zeros((ov // period,), ct.dtype)
+        cols = [zeros if rank[r] < 0 else c[:, rank[r]]
+                for r in range(2 * period)]
+        x = jnp.stack(cols[0::2], axis=-1).reshape(-1)
+        y = jnp.stack(cols[1::2], axis=-1).reshape(-1)
+        known = np.zeros(2 * period, np.uint8)
+        for r in range(2 * period):
+            known[r] = rank[r] >= 0
+        xm = jnp.tile(jnp.asarray(known[0::2]), ov // period)
+        ym = jnp.tile(jnp.asarray(known[1::2]), ov // period)
+        return x, y, xm, ym
+
+    def decode(state, coded):
+        ct = _puncture_tail(state["x"], state["y"])
+        pad = jnp.zeros((nw * body_c - n_c + body_c,), jnp.uint8)
+        e = jnp.concatenate([ct, coded.astype(jnp.uint8), pad])
+        w_main = e[: nw * body_c].reshape(nw, body_c)
+        w_tail = e[body_c: (nw + 1) * body_c].reshape(
+            nw, body_c)[:, : 2 * ov_c]
+        wins = jnp.concatenate([w_main, w_tail], axis=1)     # (nw, Lc)
+        outw = call(wins.T)                                   # (L8, nw)
+        body_bytes = outw[ov // 8: (ov + body) // 8]          # (body/8, nw)
+        out = body_bytes.T.reshape(-1)[: n_bits // 8]
+
+        new_ct = jnp.concatenate([ct, coded.astype(jnp.uint8)])[n_c:][:ov_c]
+        nx, ny, nxm, nym = _depuncture_tail(new_ct)
+        new_state = {"x": nx, "y": ny, "xm": nxm, "ym": nym}
+        return new_state, out
+
+    return jax.jit(decode)

@@ -53,25 +53,43 @@ def init_tx_state(mode: DvbtMode) -> dict:
     return state
 
 
+def _pick_coder(n_bytes: int, rate: str):
+    """Byte-stream -> coded-bits stage: the fused Pallas kernel off-CPU
+    (byte-packed mother code + puncture, kernels/coder_pallas), the jnp
+    bytes_to_bits + inner_coder composition on CPU.  Same (6,)-bit carried
+    state either way (time_sharding's halo recompute stays valid)."""
+    import os
+    impl = os.environ.get("DVBT_CODER", "")
+    if not impl:
+        impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
+    if impl == "pallas":
+        from ..kernels import coder_pallas
+        return coder_pallas.make_byte_coder(n_bytes, rate)
+    coder = inner_coder.make_inner_coder(n_bytes * 8, rate)
+
+    def apply(state6, stream_bytes):
+        return coder(state6, bitutils.bytes_to_bits(stream_bytes))
+
+    return apply
+
+
 def _make_stream_pipeline(mode: DvbtMode, stream: str, n_blocks: int):
     """Per-stream bit pipeline: TS packets -> coded bits (T1..T4)."""
     n_packets = mode.stream_packets_per_block(stream) * n_blocks
     n_bytes = n_packets * RS_PACKET
-    n_info_bits = n_bytes * 8
     rate = mode.code_rate if stream == "hp" else mode.code_rate_lp
 
     disperse = energy.make_energy_dispersal(n_packets)
     rs_enc = reed_solomon.make_rs_encoder()
     out_ilv = outer_interleaver.make_outer_interleaver(n_bytes)
-    coder = inner_coder.make_inner_coder(n_info_bits, rate)
+    coder = _pick_coder(n_bytes, rate)
 
     def run(state: dict, packets: jnp.ndarray):
         phase, randomized = disperse(state["dispersal_phase"], packets)
         coded204 = rs_enc(randomized)
         tail, interleaved = out_ilv(state["outer_tail"],
                                     coded204.reshape(-1))
-        bits = bitutils.bytes_to_bits(interleaved)
-        cstate, coded_bits = coder(state["coder_state"], bits)
+        cstate, coded_bits = coder(state["coder_state"], interleaved)
         new_state = {
             "dispersal_phase": phase,
             "outer_tail": tail,

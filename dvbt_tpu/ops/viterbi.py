@@ -34,6 +34,17 @@ DEFAULT_OVERLAP = 128
 DEFAULT_BODY = 1024
 
 
+def effective_overlap(rate: str, overlap: int = DEFAULT_OVERLAP) -> int:
+    """Overlap rounded up so the carried tail is both byte-aligned and
+    puncture-phase-aligned (lcm of 8 and the Table-3 period).  Used by BOTH
+    Viterbi implementations so the carried-state pytree shape is
+    implementation-independent (jnp on CPU, Pallas on TPU)."""
+    import math
+    period = len(tables.PUNCTURE[rate][0])
+    align = 8 * period // math.gcd(8, period)
+    return -(-overlap // align) * align
+
+
 @functools.lru_cache(maxsize=None)
 def _trellis():
     t = tables.viterbi_tables()

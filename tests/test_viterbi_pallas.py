@@ -73,3 +73,58 @@ def test_pallas_decodes_noiseless_exactly():
     dec = vp.make_viterbi_decoder(n_bits, body=1024, interpret=True)
     _, out = dec(vp.init_state(), x, y, xm, ym)
     assert np.array_equal(np.asarray(out), bits)
+
+
+# --- rate-specialized punctured decoder (coded stream in, bytes out) --------
+
+from dvbt_tpu.utils import bits as bitutils
+
+
+def _encode_punctured(bits, rate, n_bits):
+    coder = inner_coder.make_inner_coder(n_bits, rate)
+    _, coded = coder(inner_coder.init_state(), jnp.asarray(bits))
+    return np.asarray(coded, np.uint8) * 15
+
+
+@pytest.mark.parametrize("rate,flips", [
+    ("1/2", 0), ("2/3", 40), ("3/4", 24), ("5/6", 12), ("7/8", 8),
+])
+def test_punctured_matches_jnp(rate, flips):
+    period = len(tables.PUNCTURE[rate][0])
+    n_bits = 8 * period * 480
+    rng = np.random.default_rng(3)
+    bits = rng.integers(0, 2, size=2 * n_bits, dtype=np.uint8)
+    body, ov = vp.punct_geometry(n_bits, rate, 512, 96)
+    dec_j = vj.make_viterbi_decoder(n_bits, body=body, overlap=ov)
+    dec_p = vp.make_viterbi_decoder_punctured(n_bits, rate, body=512,
+                                              overlap=96, interpret=True)
+    depunct = inner_coder.make_depuncture(n_bits, rate)
+    sj, sp = vj.init_state(ov), vj.init_state(ov)
+    for blk in range(2):
+        coded = _encode_punctured(bits[blk * n_bits:(blk + 1) * n_bits],
+                                  rate, n_bits)
+        if flips:
+            pos = rng.choice(len(coded), flips, replace=False)
+            coded[pos] = 15 - coded[pos]
+        x, y, xm, ym = depunct(jnp.asarray(coded))
+        xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+        ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+        sj, out_j = dec_j(sj, x, y, xm, ym)
+        sp, out_p = dec_p(sp, jnp.asarray(coded))
+        want = np.asarray(bitutils.bits_to_bytes(out_j))
+        assert np.array_equal(np.asarray(out_p), want), (rate, blk)
+        for k in sj:
+            assert np.array_equal(np.asarray(sj[k]), np.asarray(sp[k])), \
+                (rate, blk, k)
+
+
+def test_punctured_noiseless_exact_odd_period():
+    rate = "3/4"
+    n_bits = 8 * 3 * 480
+    rng = np.random.default_rng(4)
+    bits = rng.integers(0, 2, size=n_bits, dtype=np.uint8)
+    coded = _encode_punctured(bits, rate, n_bits)
+    dec = vp.make_viterbi_decoder_punctured(n_bits, rate, interpret=True)
+    _, ov = vp.punct_geometry(n_bits, rate)
+    _, out = dec(vj.init_state(ov), jnp.asarray(coded))
+    assert np.array_equal(np.asarray(out), np.packbits(bits))
