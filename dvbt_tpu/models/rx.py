@@ -36,10 +36,11 @@ from ..ops import (
 from ..utils import bits as bitutils
 
 
-def _init_stream_state(overlap: int) -> dict:
+def _init_stream_state(rate: str, overlap: int) -> dict:
     return {
         "deint_tail": outer_interleaver.init_state(),
-        "viterbi": viterbi.init_state(overlap),
+        "viterbi": viterbi.init_state(viterbi.effective_overlap(rate,
+                                                                overlap)),
         "descr_phase": jnp.int32(0),
         "descr_locked": jnp.asarray(False),
     }
@@ -48,29 +49,25 @@ def _init_stream_state(overlap: int) -> dict:
 def init_rx_state(mode: DvbtMode,
                   overlap: int = viterbi.DEFAULT_OVERLAP) -> dict:
     """Carried RX state pytree (SURVEY.md §5.4): deinterleaver tail, Viterbi
-    boundary window, descrambler phase lock (per stream)."""
-    state = _init_stream_state(overlap)
+    boundary window, descrambler phase lock (per stream).  The Viterbi tail
+    length is `effective_overlap(rate, overlap)` — byte- and puncture-phase
+    aligned so the SAME pytree drives the jnp and the fused Pallas decoders
+    (checkpoints are implementation-independent)."""
+    state = _init_stream_state(mode.code_rate, overlap)
     if mode.hierarchical:
-        state["lp"] = _init_stream_state(overlap)
+        state["lp"] = _init_stream_state(mode.code_rate_lp, overlap)
     return state
 
 
-def _pick_viterbi(impl: str):
-    """'auto' uses the Pallas TPU kernel off-CPU, the jnp scan on CPU.
-
-    Both implementations take (n_bits, body, overlap) with body=None meaning
-    "auto-tune" (lane-filling window for Pallas, DEFAULT_BODY for jnp); a
-    caller-supplied viterbi_body is honored on either path.
-    """
+def _resolve_viterbi_impl(impl: str) -> str:
+    """'auto' -> the Pallas TPU kernels off-CPU, the jnp scan on CPU
+    (override with DVBT_VITERBI=jnp|pallas)."""
     if impl == "auto":
         import os
         impl = os.environ.get("DVBT_VITERBI", "")
         if not impl:
             impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
-    if impl == "pallas":
-        from ..kernels import viterbi_pallas
-        return viterbi_pallas.make_viterbi_decoder
-    return viterbi.make_viterbi_decoder
+    return impl
 
 
 def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
@@ -81,10 +78,30 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
     n_bytes = n_packets * RS_PACKET
     n_info_bits = n_bytes * 8
     rate = mode.code_rate if stream == "hp" else mode.code_rate_lp
+    overlap = viterbi.effective_overlap(rate, viterbi_overlap)
 
-    depunct = inner_coder.make_depuncture(n_info_bits, rate)
-    vit = _pick_viterbi(viterbi_impl)(n_info_bits, viterbi_body,
-                                      viterbi_overlap)
+    impl = _resolve_viterbi_impl(viterbi_impl)
+    if impl.startswith("pallas"):
+        # fused depuncture + ACS + byte-packing traceback: the coded soft
+        # stream is the ONLY HBM input, decoded bytes the only output
+        # ("pallas-interpret" runs the kernel in interpreter mode — the
+        # CPU-CI path for full-receiver parity, tests/test_viterbi_pallas.py)
+        from ..kernels import viterbi_pallas
+        decode_bytes = viterbi_pallas.make_viterbi_decoder_punctured(
+            n_info_bits, rate, viterbi_body, overlap,
+            interpret=impl.endswith("-interpret"))
+    else:
+        depunct = inner_coder.make_depuncture(n_info_bits, rate)
+        vit = viterbi.make_viterbi_decoder(n_info_bits, viterbi_body,
+                                           overlap)
+
+        def decode_bytes(vstate, coded_bits):
+            x, y, xm, ym = depunct(coded_bits)
+            xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+            ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+            vstate, info_bits = vit(vstate, x, y, xm, ym)
+            return vstate, bitutils.bits_to_bytes(info_bits)
+
     out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
     rs_dec = reed_solomon.make_rs_decoder()
     descramble = energy.make_energy_dispersal(n_packets)
@@ -92,11 +109,7 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
         rs_reenc = reed_solomon.make_rs_encoder()
 
     def run(state: dict, coded_bits: jnp.ndarray):
-        x, y, xm, ym = depunct(coded_bits)
-        xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
-        ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
-        vstate, info_bits = vit(state["viterbi"], x, y, xm, ym)
-        stream_bytes = bitutils.bits_to_bytes(info_bits)
+        vstate, stream_bytes = decode_bytes(state["viterbi"], coded_bits)
         tail, deinterleaved = out_dilv(state["deint_tail"], stream_bytes)
         packets204 = deinterleaved.reshape(n_packets, RS_PACKET)
         msg, rs_corr, rs_bad = rs_dec(packets204)

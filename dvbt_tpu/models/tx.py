@@ -62,9 +62,12 @@ def _pick_coder(n_bytes: int, rate: str):
     impl = os.environ.get("DVBT_CODER", "")
     if not impl:
         impl = "jnp" if jax.default_backend() == "cpu" else "pallas"
-    if impl == "pallas":
+    if impl.startswith("pallas"):
+        # "pallas-interpret" = interpreter-mode kernel, the CPU-CI path for
+        # full-transmitter parity (tests/test_coder_pallas.py)
         from ..kernels import coder_pallas
-        return coder_pallas.make_byte_coder(n_bytes, rate)
+        return coder_pallas.make_byte_coder(
+            n_bytes, rate, interpret=impl.endswith("-interpret"))
     coder = inner_coder.make_inner_coder(n_bytes * 8, rate)
 
     def apply(state6, stream_bytes):

@@ -56,7 +56,8 @@ def _info_bits_per_symbol(mode: DvbtMode) -> int:
 def rx_halo_symbols(mode: DvbtMode) -> int:
     """Symbols needed to recompute the RX byte-domain carried state:
     2244 deinterleaver-tail bytes + Viterbi cold-start slack."""
-    need_bits = (outer_interleaver.TAIL + 64) * 8 + viterbi.DEFAULT_OVERLAP
+    need_bits = ((outer_interleaver.TAIL + 64) * 8
+                 + viterbi.effective_overlap(mode.code_rate))
     h = -(-need_bits // _info_bits_per_symbol(mode))
     assert h < SYMBOLS_PER_FRAME
     return h
@@ -106,7 +107,7 @@ def make_rx_state_from_halo(mode: DvbtMode):
     L = mode.symbol_len
     n_blk_sym = mode.frames_per_block * SYMBOLS_PER_FRAME
     n_info = H * _info_bits_per_symbol(mode)
-    ov = viterbi.DEFAULT_OVERLAP
+    ov = viterbi.effective_overlap(mode.code_rate)
 
     bins = ofdm._bin_map(mode)
     chan_est = reference_signals.make_channel_estimator(mode)

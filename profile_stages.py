@@ -91,7 +91,8 @@ qdemap = mapper.make_demapper(mode)
 sym_dilv = symbol_interleaver.make_symbol_interleaver(mode, SYMBOLS_PER_FRAME, deinterleave=True)
 bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
 depunct = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
-vit = viterbi.make_viterbi_decoder(n_info_bits)
+vit = viterbi.make_viterbi_decoder(
+    n_info_bits, overlap=viterbi.effective_overlap(mode.code_rate))
 out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
 rs_dec = reed_solomon.make_rs_decoder()
 descr = energy.make_energy_dispersal(n_packets)
