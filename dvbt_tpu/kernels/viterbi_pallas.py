@@ -272,40 +272,47 @@ def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
     pm_fin = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
 
-    # traceback (reverse), packing 8 decoded bits per BYTE row (MSB-first)
+    # traceback (reverse), packing 8 decoded bits per BYTE row (MSB-first).
+    # 64 steps (2 decision words) per iteration so the uint8 output store is
+    # 8 rows at an 8-aligned dynamic offset (Mosaic requires the dim-0 index
+    # of a packed i8 vector store to be provably a multiple of 8).
     pm_min = jnp.min(pm_fin, axis=0, keepdims=True)
     s_end = jnp.min(jnp.where(pm_fin == pm_min, s, N_STATES),
                     axis=0, keepdims=True)
 
-    def bwd_word(i, st):
-        wi = L // 32 - 1 - i
-        w = dec_ref[pl.ds(wi, 1)][0]                     # (64, 128) uint32
-        by = [jnp.zeros((1, LANES), jnp.uint32) for _ in range(4)]
-        for k in range(31, -1, -1):
-            sel = s == st
-            wbit = ((w >> np.uint32(k)) & 1).astype(jnp.int32)
-            dbit = jnp.sum(jnp.where(sel, wbit, 0), axis=0, keepdims=True)
-            j = k // 8
-            by[j] = by[j] | ((st >> 5).astype(jnp.uint32)
-                             << np.uint32(7 - (k % 8)))
-            st = ((st & 31) << 1) | dbit
-        out_ref[pl.ds(wi * 4, 4), :] = jnp.concatenate(
+    def bwd_pair(i, st):
+        w64 = L // 64 - 1 - i
+        by = [jnp.zeros((1, LANES), jnp.uint32) for _ in range(8)]
+        for half in (1, 0):
+            w = dec_ref[pl.ds(w64 * 2 + half, 1)][0]     # (64, 128) uint32
+            for k in range(31, -1, -1):
+                sel = s == st
+                wbit = ((w >> np.uint32(k)) & 1).astype(jnp.int32)
+                dbit = jnp.sum(jnp.where(sel, wbit, 0), axis=0,
+                               keepdims=True)
+                j = half * 4 + k // 8
+                by[j] = by[j] | ((st >> 5).astype(jnp.uint32)
+                                 << np.uint32(7 - (k % 8)))
+                st = ((st & 31) << 1) | dbit
+        out_ref[pl.ds(w64 * 8, 8), :] = jnp.concatenate(
             by, axis=0).astype(jnp.uint8)
         return st
 
-    jax.lax.fori_loop(0, L // 32, bwd_word, s_end)
+    jax.lax.fori_loop(0, L // 64, bwd_pair, s_end)
 
 
 def punct_geometry(n_bits: int, rate: str, body: int | None = None,
                    overlap: int = DEFAULT_OVERLAP):
     """(body, overlap) satisfying the punctured kernel's alignment:
     overlap and body multiples of lcm(8, period); (body+2*overlap) a
-    multiple of the fwd iteration width (32*period for odd periods)."""
+    multiple of the fwd iteration width (32*period for odd periods) AND of
+    64 (the traceback stores 8 byte-rows per iteration)."""
     import math
     period, _, _ = _pattern(rate)
     align = 8 * period // math.gcd(8, period)
     ov = -(-overlap // align) * align
     W = 32 * period if period % 2 else 32
+    W = W * 64 // math.gcd(W, 64)
     b = body if body is not None else auto_body(n_bits)
     b = -(-b // align) * align
     while (b + 2 * ov) % W:

@@ -26,18 +26,3 @@ def bits_to_bytes(b: jnp.ndarray) -> jnp.ndarray:
     g = b.reshape(*b.shape[:-1], n, 8).astype(jnp.uint8)
     w = jnp.asarray((1 << _SHIFTS).astype(np.uint8))
     return (g * w).sum(axis=-1).astype(jnp.uint8)
-
-
-def bits_to_cells(b: jnp.ndarray, v: int) -> jnp.ndarray:
-    """(..., n*v) bits -> (..., n) cell values, bit 0 of each group = MSB."""
-    n = b.shape[-1] // v
-    g = b.reshape(*b.shape[:-1], n, v).astype(jnp.int32)
-    w = jnp.asarray(1 << np.arange(v - 1, -1, -1, dtype=np.int32))
-    return (g * w).sum(axis=-1)
-
-
-def cells_to_bits(c: jnp.ndarray, v: int) -> jnp.ndarray:
-    """(..., n) cell values -> (..., n*v) bits, MSB first."""
-    sh = jnp.asarray(np.arange(v - 1, -1, -1, dtype=np.int32))
-    bits = (c[..., :, None] >> sh) & 1
-    return bits.reshape(*c.shape[:-1], c.shape[-1] * v).astype(jnp.uint8)

@@ -70,3 +70,13 @@ def test_hierarchical_hp_more_robust_than_lp():
     lp_bad = sum(int(np.asarray(m["lp_rs_uncorrectable"]).sum()) for m in ms)
     assert hp_bad == 0
     assert lp_bad > 0
+
+
+@pytest.mark.slow
+def test_hierarchical_8k_loopback_byte_exact():
+    # 8K hierarchical had zero coverage in round 1 (VERDICT "what's weak" 4);
+    # one representative 8K dual-stream mode, byte-exact both streams
+    mode = DvbtMode("8k", "64qam", "2/3", alpha=2, code_rate_lp="3/4")
+    (hp_in, hp_out), (lp_in, lp_out), ms = _loopback_hier(mode, n_blocks=2)
+    assert np.array_equal(hp_out[DELAY:], hp_in[:len(hp_out) - DELAY])
+    assert np.array_equal(lp_out[DELAY:], lp_in[:len(lp_out) - DELAY])
