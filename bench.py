@@ -68,6 +68,60 @@ def hw_parity(rate: str = "2/3", n_bits: int = 129024) -> dict:
     return {"coder_hw_parity": coder_ok, "viterbi_hw_parity": vit_ok}
 
 
+def tracked_bench(mode, n_blocks: int = 10) -> dict:
+    """Deployable-receiver throughput (VERDICT r1 item 8): the FULL
+    StreamingReceiver path — initial CP-correlation acquisition, then the
+    locked track (NCO derotation + SCO loop) + decode chain per block —
+    instead of the symbol-aligned rx the headline metric uses.
+
+    The stream carries a fractional CFO so the tracker genuinely derotates.
+    Host<->device block transfers are part of the measured path (they are
+    part of deploying this receiver).
+    """
+    import numpy as np
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.models import channel, tx as txm
+    from dvbt_tpu.models.loopback import StreamingReceiver
+
+    n_frames = mode.frames_per_block * 2
+    tx, n_pk, n_samp = txm.make_transmitter(mode, n_frames)
+    tst = txm.init_tx_state(mode)
+    pk = tsio.make_ts_packets(n_pk * n_blocks, seed=7)
+    import jax.numpy as jnp
+    blocks = []
+    for b in range(n_blocks):
+        tst, iq = tx(tst, jnp.asarray(pk[b * n_pk:(b + 1) * n_pk]))
+        phase0 = 2.0 * np.pi * 0.31 * (b * n_samp) / mode.fft_len
+        iq = channel.apply_cfo(iq, 0.31, mode.fft_len, phase0=phase0)
+        blocks.append(tsio.device_get_complex(iq))
+
+    srx = StreamingReceiver(mode, n_frames)
+    # warmup: compiles sync + track + rx programs, acquires lock (the
+    # acquisition search needs ~2 blocks of capture before the first report)
+    warm = 0
+    reports: list = []
+    while not any(r.reacquired for r in reports):
+        reports += srx.feed(blocks[warm])
+        warm += 1
+    reports += srx.feed(blocks[warm])  # one locked block: track program
+    warm += 1
+    t0 = time.time()
+    n_bad = 0
+    fed = 0
+    for b in range(warm, n_blocks):
+        for r in srx.feed(blocks[b]):
+            n_bad += int(r.rs_uncorrectable.sum())
+        fed += len(blocks[b])
+    elapsed = time.time() - t0
+    return {
+        "tracked_msps": round(fed / elapsed / 1e6, 3),
+        "tracked_blocks": n_blocks - warm,
+        "tracked_rs_uncorrectable": n_bad,
+        "tracked_locked": srx.locked,
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -125,6 +179,12 @@ def main():
         parity = hw_parity()
         log(f"bench: {parity}")
 
+    tracked = {}
+    if os.environ.get("DVBT_BENCH_TRACKED", "1") == "1":
+        log("bench: tracked-streaming variant...")
+        tracked = tracked_bench(mode)
+        log(f"bench: {tracked}")
+
     # warmup / compile (2 steps: first also fills carried state)
     log("bench: compiling...")
     t0 = time.time()
@@ -164,6 +224,7 @@ def main():
         "compile_s": round(compile_s, 1),
         "rs_uncorrectable_last_block": n_bad,
         **parity,
+        **tracked,
     }
     print(json.dumps(result))
 

@@ -109,10 +109,13 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
         rs_reenc = reed_solomon.make_rs_encoder()
 
     def run(state: dict, coded_bits: jnp.ndarray):
-        vstate, stream_bytes = decode_bytes(state["viterbi"], coded_bits)
-        tail, deinterleaved = out_dilv(state["deint_tail"], stream_bytes)
+        with jax.named_scope("viterbi_decode"):
+            vstate, stream_bytes = decode_bytes(state["viterbi"], coded_bits)
+        with jax.named_scope("outer_deinterleave"):
+            tail, deinterleaved = out_dilv(state["deint_tail"], stream_bytes)
         packets204 = deinterleaved.reshape(n_packets, RS_PACKET)
-        msg, rs_corr, rs_bad = rs_dec(packets204)
+        with jax.named_scope("rs_decode"):
+            msg, rs_corr, rs_bad = rs_dec(packets204)
         detected = energy.detect_dispersal_phase(msg)
         phase = jnp.where(state["descr_locked"], state["descr_phase"],
                           detected)
@@ -189,9 +192,11 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
 
     def rx(state: dict, iq: jnp.ndarray):
         frames = iq.reshape(n_frames, -1)
-        carriers = demod(frames)                       # (F, 68, K)
+        with jax.named_scope("ofdm_demod"):
+            carriers = demod(frames)                   # (F, 68, K)
         if equalize:
-            H = chan_est(carriers)
+            with jax.named_scope("channel_estimate"):
+                H = chan_est(carriers)
             X = carriers / H
             # per-symbol timing offset from the channel phase slope: a delay
             # of tau samples gives H(k) ~ exp(-j 2 pi k tau / N), so the
@@ -203,10 +208,12 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                           * (mode.fft_len / (2.0 * np.pi))).reshape(-1)
         else:
             X = carriers
-        tps_bits, tps_frame = tps_dec(X)
+        with jax.named_scope("tps_decode"):
+            tps_bits, tps_frame = tps_dec(X)
         # demap everything (elementwise; pilot columns are don't-cares),
         # then extract+symbol-deinterleave as one fused row-take permutation
-        cells = cell_dilv(qdemap(X))                   # (F, 68, C)
+        with jax.named_scope("demap_deinterleave"):
+            cells = cell_dilv(qdemap(X))               # (F, 68, C)
         # MER / SNR estimate (SURVEY.md §5.5 observability): error power of
         # the equalized payload cells vs their hard decisions
         X_cells = cell_dilv(X)

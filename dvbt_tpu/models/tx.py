@@ -88,11 +88,15 @@ def _make_stream_pipeline(mode: DvbtMode, stream: str, n_blocks: int):
     coder = _pick_coder(n_bytes, rate)
 
     def run(state: dict, packets: jnp.ndarray):
-        phase, randomized = disperse(state["dispersal_phase"], packets)
-        coded204 = rs_enc(randomized)
-        tail, interleaved = out_ilv(state["outer_tail"],
-                                    coded204.reshape(-1))
-        cstate, coded_bits = coder(state["coder_state"], interleaved)
+        with jax.named_scope("energy_dispersal"):
+            phase, randomized = disperse(state["dispersal_phase"], packets)
+        with jax.named_scope("rs_encode"):
+            coded204 = rs_enc(randomized)
+        with jax.named_scope("outer_interleave"):
+            tail, interleaved = out_ilv(state["outer_tail"],
+                                        coded204.reshape(-1))
+        with jax.named_scope("inner_coder"):
+            cstate, coded_bits = coder(state["coder_state"], interleaved)
         new_state = {
             "dispersal_phase": phase,
             "outer_tail": tail,
@@ -144,11 +148,15 @@ def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
         else:
             per_sym = hp_bits.reshape(n_frames, SYMBOLS_PER_FRAME,
                                       slots * mode.v)
-        cells = bit_ilv(per_sym)                      # (F, 68, C)
-        points = qmap(cells)                          # (F, 68, C) complex
+        with jax.named_scope("bit_interleave"):
+            cells = bit_ilv(per_sym)                  # (F, 68, C)
+        with jax.named_scope("qam_map"):
+            points = qmap(cells)                      # (F, 68, C) complex
         fidx = state["frame_idx"] + jnp.arange(n_frames, dtype=jnp.int32)
-        carriers = jax.vmap(builder)(fidx, points)    # (F, 68, K)
-        iq = modulator(carriers).reshape(-1)
+        with jax.named_scope("frame_build"):
+            carriers = jax.vmap(builder)(fidx, points)  # (F, 68, K)
+        with jax.named_scope("ofdm_mod"):
+            iq = modulator(carriers).reshape(-1)
         new_state = dict(hp_state)
         new_state["frame_idx"] = (state["frame_idx"] + n_frames) % 4
         if mode.hierarchical:

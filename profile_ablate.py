@@ -2,11 +2,14 @@
 
 profile_stages.py times each op standalone, but XLA fuses the composed
 tx/rx programs differently, so standalone numbers mislead.  This script
-compiles TRUNCATED tx/rx programs (prefixes of the real chain, same shapes,
-same vmap mux batch as bench.py) and reports the per-stage cost as the
-difference between consecutive prefixes — exact in-situ shares.
+compiles TRUNCATED tx/rx programs (prefixes of the REAL chain — the same
+stage factories models/tx.py and models/rx.py use, including the fused
+Pallas byte-coder and punctured Viterbi on TPU — same shapes, same vmap mux
+batch as bench.py) and reports per-stage cost as the difference between
+consecutive prefixes — exact in-situ shares.
 
-Env: M=8k|2k (default 8k), MUX (default 8), REPS (default 20).
+Env: M=8k|2k (default 8k), MUX (default 8), REPS (default 20),
+TRACE=<dir> to also capture a jax.profiler trace of the full-step prefix.
 """
 import os
 import sys
@@ -22,14 +25,15 @@ import numpy as np
 from dvbt_tpu.io import ts as tsio
 from dvbt_tpu.mode import MODE_2K_QPSK, MODE_8K_UK, RS_PACKET, SYMBOLS_PER_FRAME
 from dvbt_tpu.models import rx as rxm, tx as txm
-from dvbt_tpu.ops import (bit_interleaver, energy, inner_coder, mapper, ofdm,
+from dvbt_tpu.models.tx import _make_stream_pipeline
+from dvbt_tpu.ops import (bit_interleaver, energy, mapper, ofdm,
                           outer_interleaver, reed_solomon, reference_signals,
                           viterbi)
-from dvbt_tpu.utils import bits as bitutils
 
 mode = MODE_8K_UK if os.environ.get("M", "8k") == "8k" else MODE_2K_QPSK
 MUX = int(os.environ.get("MUX", "8"))
 REPS = int(os.environ.get("REPS", "20"))
+TRACE = os.environ.get("TRACE", "")
 
 n_frames = mode.frames_per_block
 n_packets = mode.packets_per_block
@@ -37,11 +41,8 @@ n_bytes = n_packets * RS_PACKET
 n_info_bits = n_bytes * 8
 slots = mode.n_payload
 
-# --- stage functions (single mux; vmapped below) ----------------------------
-disperse = energy.make_energy_dispersal(n_packets)
-rs_enc = reed_solomon.make_rs_encoder()
-out_ilv = outer_interleaver.make_outer_interleaver(n_bytes)
-coder = inner_coder.make_inner_coder(n_info_bits, mode.code_rate)
+# --- stage functions: the SAME factories models/{tx,rx}.py compose ---------
+hp_pipe, _ = _make_stream_pipeline(mode, "hp", 1)
 bit_ilv = bit_interleaver.make_bit_interleaver(mode)
 qmap = mapper.make_mapper(mode)
 builder = reference_signals.make_frame_builder(mode)
@@ -54,25 +55,36 @@ tps_dec = reference_signals.make_tps_decoder(mode)
 qdemap = mapper.make_demapper(mode)
 qmap_points = mapper.make_mapper(mode)
 bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
-depunct = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
-from dvbt_tpu.kernels import viterbi_pallas
-vit = viterbi_pallas.make_viterbi_decoder(n_info_bits)
+overlap = viterbi.effective_overlap(mode.code_rate)
+if jax.default_backend() == "cpu":
+    from dvbt_tpu.ops import inner_coder
+    from dvbt_tpu.utils import bits as bitutils
+    _dep = inner_coder.make_depuncture(n_info_bits, mode.code_rate)
+    _vit = viterbi.make_viterbi_decoder(n_info_bits, overlap=overlap)
+
+    def decode_bytes(vstate, coded):
+        x, y, xm, ym = _dep(coded)
+        xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+        ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+        vstate, bits = _vit(vstate, x, y, xm, ym)
+        return vstate, bitutils.bits_to_bytes(bits)
+else:
+    from dvbt_tpu.kernels import viterbi_pallas
+    decode_bytes = viterbi_pallas.make_viterbi_decoder_punctured(
+        n_info_bits, mode.code_rate, overlap=overlap)
 out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
 rs_dec = reed_solomon.make_rs_decoder()
+descr = energy.make_energy_dispersal(n_packets)
 
 
 def tx_bits(packets):
-    _, r = disperse(jnp.int32(0), packets)
-    c204 = rs_enc(r)
-    _, ilv = out_ilv(outer_interleaver.init_state(), c204.reshape(-1))
-    b = bitutils.bytes_to_bits(ilv)
-    _, cb = coder(inner_coder.init_state(), b)
+    _, cb = hp_pipe(txm.init_tx_state(mode), packets)
     return cb
 
 
 def tx_cells(packets):
-    cb = tx_bits(packets)
-    per_sym = cb.reshape(n_frames, SYMBOLS_PER_FRAME, slots * mode.v)
+    per_sym = tx_bits(packets).reshape(n_frames, SYMBOLS_PER_FRAME,
+                                       slots * mode.v)
     return bit_ilv(per_sym)
 
 
@@ -96,15 +108,20 @@ def rx_carriers(iq):
 
 def rx_eq(iq):
     c = rx_carriers(iq)
-    return c / chan_est(c)
+    H = chan_est(c)
+    X = c / H
+    dphi = jnp.sum(H[..., 1:] * jnp.conj(H[..., :-1]), axis=-1)
+    tau = -jnp.angle(dphi) * (mode.fft_len / (2.0 * np.pi))
+    return X, tau
 
 
 def rx_cells(iq):
-    return cell_dilv(qdemap(rx_eq(iq)))
+    X, _ = rx_eq(iq)
+    return cell_dilv(qdemap(X))
 
 
 def rx_mer(iq):
-    X = rx_eq(iq)
+    X, _ = rx_eq(iq)
     cells = cell_dilv(qdemap(X))
     X_cells = cell_dilv(X)
     p_hat = qmap_points(cells)
@@ -114,29 +131,23 @@ def rx_mer(iq):
     return cells, mer
 
 
+def rx_tps(iq):
+    X, _ = rx_eq(iq)
+    return cell_dilv(qdemap(X)), tps_dec(X)
+
+
 def rx_bits(iq):
     return bit_dilv(rx_cells(iq)) * np.uint8(15)
 
 
-def rx_depunct(iq):
-    b = rx_bits(iq).reshape(-1)
-    x, y, xm, ym = depunct(b)
-    return x, y
-
-
-def rx_viterbi(iq):
-    b = rx_bits(iq).reshape(-1)
-    x, y, xm, ym = depunct(b)
-    xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
-    ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
-    _, bits = vit(viterbi_pallas.init_state(), x, y, xm, ym)
-    return bits
+def rx_decode(iq):
+    coded = rx_bits(iq).reshape(-1)
+    _, sb = decode_bytes(viterbi.init_state(overlap), coded)
+    return sb
 
 
 def rx_bytes(iq):
-    bits = rx_viterbi(iq)
-    sb = bitutils.bits_to_bytes(bits)
-    _, d = out_dilv(outer_interleaver.init_state(), sb)
+    _, d = out_dilv(outer_interleaver.init_state(), rx_decode(iq))
     return d
 
 
@@ -149,7 +160,7 @@ def rx_rs(iq):
 def rx_full(iq):
     msg, bad = rx_rs(iq)
     ph = energy.detect_dispersal_phase(msg)
-    _, ts = disperse(ph, msg)
+    _, ts = descr(ph, msg)
     return ts
 
 
@@ -167,8 +178,8 @@ fetch(trivial(z))
 t0 = time.time()
 for _ in range(REPS):
     fetch(trivial(z))
-lat = (time.time() - t0)
-print(f"roundtrip latency {lat/REPS*1e3:.2f} ms", flush=True)
+lat1 = (time.time() - t0) / REPS          # ONE host<->device roundtrip
+print(f"roundtrip latency {lat1*1e3:.2f} ms", flush=True)
 
 
 def measure(name, fn, *args):
@@ -180,11 +191,11 @@ def measure(name, fn, *args):
     t0 = time.time()
     for _ in range(REPS):
         out = f(*args)
-    fetch(out)
-    dt = (time.time() - t0 - lat) / REPS
+    fetch(out)  # ONE roundtrip drains the whole enqueued pipeline
+    dt = (time.time() - t0 - lat1) / REPS
     print(f"{name:14s} compile {compile_t:7.1f}s  run {dt*1e3:8.2f} ms",
           flush=True)
-    return dt, out
+    return dt, f, out
 
 
 pk1 = tsio.make_ts_packets(n_packets)
@@ -196,22 +207,33 @@ stages_tx = [("tx_bits", tx_bits), ("tx_cells", tx_cells),
 prev = 0.0
 iq = None
 for name, fn in stages_tx:
-    dt, out = measure(name, fn, packets)
+    dt, f, out = measure(name, fn, packets)
     print(f"   -> stage delta {1e3*(dt - prev):8.2f} ms", flush=True)
     prev = dt
     if name == "tx_full":
         iq = out
 
 stages_rx = [("rx_carriers", rx_carriers), ("rx_eq", rx_eq),
-             ("rx_cells", rx_cells), ("rx_mer", rx_mer),
-             ("rx_bits", rx_bits), ("rx_depunct", rx_depunct),
-             ("rx_viterbi", rx_viterbi), ("rx_bytes", rx_bytes),
-             ("rx_rs", rx_rs), ("rx_full", rx_full)]
+             ("rx_cells", rx_cells), ("rx_mer", rx_mer), ("rx_tps", rx_tps),
+             ("rx_bits", rx_bits), ("rx_decode", rx_decode),
+             ("rx_bytes", rx_bytes), ("rx_rs", rx_rs), ("rx_full", rx_full)]
 prev = 0.0
+rx_f = None
 for name, fn in stages_rx:
-    dt, _ = measure(name, fn, iq)
-    extra = "" if name != "rx_mer" else " (vs rx_cells)"
+    dt, f, _ = measure(name, fn, iq)
+    extra = ""
+    if name in ("rx_mer", "rx_tps"):
+        extra = " (vs rx_cells)"
     print(f"   -> stage delta {1e3*(dt - prev):8.2f} ms{extra}", flush=True)
-    if name != "rx_mer":
+    if name not in ("rx_mer", "rx_tps"):
         prev = dt
+    if name == "rx_full":
+        rx_f = f
+
+if TRACE:
+    # jax.profiler trace of one full TX + RX prefix step (SURVEY.md §5.1)
+    with jax.profiler.trace(TRACE):
+        out = rx_f(iq)
+        fetch(out)
+    print(f"trace written to {TRACE}", flush=True)
 print("done", flush=True)
