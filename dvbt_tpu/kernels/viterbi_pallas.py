@@ -44,21 +44,47 @@ def _parity(v):
     return p & 1
 
 
+def _pack_states(dec, s_u):
+    """(64, 128) bool decisions -> two (1, 128) uint32 words: bit s of word
+    s//32 = decision of state s.  Disjoint bit positions, so the sublane
+    sum IS the bitwise OR.  This layout makes the traceback a pure
+    (1, 128)-vector recurrence (select word by st<32, variable shift by
+    st&31) instead of a (64, 128) one-hot reduction per step."""
+    # int32 arithmetic: Mosaic has no unsigned reductions, and a sum of
+    # DISJOINT bit positions has the right two's-complement bit pattern
+    # even when bit 31 participates; the final astype is a pure bitcast.
+    d = dec.astype(jnp.int32)
+    si = s_u.astype(jnp.int32)
+    w0 = jnp.sum(jnp.where(si < 32, d << si, 0), axis=0, keepdims=True,
+                 dtype=jnp.int32)
+    w1 = jnp.sum(jnp.where(si >= 32, d << (si - 32), 0), axis=0,
+                 keepdims=True, dtype=jnp.int32)
+    return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
+
+def _tb_bit(w0, w1, st):
+    """Decision bit of state st (1,128) from the step's packed word pair."""
+    sel = jnp.where(st < 32, w0, w1)
+    return ((sel >> (st & 31).astype(jnp.uint32)) & 1).astype(jnp.int32)
+
+
 def _viterbi_kernel(in_ref, out_ref, dec_ref, *, L, ov, body):
     """in_ref: (L, 128) int32 packed bits; out_ref: (L//32, 128) uint32
-    packed decoded bits; dec_ref: VMEM scratch (L//32, 64, 128) uint32."""
+    packed decoded bits; dec_ref: VMEM scratch (L//32, 64, 128) uint32
+    holding STATE-PACKED decision words (rows 2k/2k+1 = step k's states
+    0..31 / 32..63)."""
     s = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, LANES), 0)
+    s_u = s.astype(jnp.uint32)
     # branch outputs for the d=0 predecessor: v = (s' << 1) | d
     pox0 = _parity((s << 1) & G1)
     poy0 = _parity((s << 1) & G2)
 
     # --- forward ACS ------------------------------------------------------
     # word-level loop: 32 trellis steps per iteration with STATIC in-word
-    # bit positions (traced shift amounts and per-step flushes cost real
-    # cycles), one decision-word store per 32 steps.
+    # bit positions; one 64-row slab store of packed decisions per 32 steps.
     def fwd_word(wi, pm):
-        decw = jnp.zeros((N_STATES, LANES), jnp.uint32)
         rows = in_ref[pl.ds(wi * 32, 32), :]             # (32, 128)
+        words = []
         for k in range(32):
             row = rows[k: k + 1]                         # (1, 128)
             sx, sy = row & 15, (row >> 4) & 15           # soft 0..15
@@ -77,8 +103,8 @@ def _viterbi_kernel(in_ref, out_ref, dec_ref, *, L, ov, body):
             c1 = jnp.concatenate([odd, odd], axis=0) + bm1
             dec = c1 < c0
             pm = jnp.minimum(c0, c1)
-            decw = decw | (dec.astype(jnp.uint32) << np.uint32(k))
-        dec_ref[pl.ds(wi, 1)] = decw[None]
+            words.extend(_pack_states(dec, s_u))
+        dec_ref[pl.ds(wi, 1)] = jnp.concatenate(words, axis=0)[None]
         return pm
 
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
@@ -95,10 +121,7 @@ def _viterbi_kernel(in_ref, out_ref, dec_ref, *, L, ov, body):
         w = dec_ref[pl.ds(wi, 1)][0]                     # (64, 128) uint32
         outw = jnp.zeros((1, LANES), jnp.uint32)
         for k in range(31, -1, -1):
-            sel = s == st                                # one-hot over states
-            wbit = ((w >> np.uint32(k)) & 1).astype(jnp.int32)
-            dbit = jnp.sum(jnp.where(sel, wbit, 0),
-                           axis=0, keepdims=True)        # (1, 128)
+            dbit = _tb_bit(w[2 * k: 2 * k + 1], w[2 * k + 1: 2 * k + 2], st)
             outw = outw | ((st >> 5).astype(jnp.uint32) << np.uint32(k))
             st = ((st & 31) << 1) | dbit
         out_ref[pl.ds(wi, 1), :] = outw
@@ -221,6 +244,7 @@ def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
     n_words = W // 32                        # decision words per iteration
 
     s = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, LANES), 0)
+    s_u = s.astype(jnp.uint32)
     pox0 = _parity((s << 1) & G1)            # d=0 branch outputs per state
     poy0 = _parity((s << 1) & G2)
     # per-lane count of VALID extended-stream steps: window w covers steps
@@ -233,8 +257,7 @@ def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
 
     def fwd_iter(wi, pm):
         rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)  # (Wc, 128)
-        decw = [jnp.zeros((N_STATES, LANES), jnp.uint32)
-                for _ in range(n_words)]
+        words = []
         for k in range(W):
             q = k % period
             base = (k // period) * keep
@@ -263,10 +286,10 @@ def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
             c1 = jnp.concatenate([odd, odd], axis=0) + bm1
             dec = c1 < c0
             pm = jnp.minimum(c0, c1)
-            j = k // 32
-            decw[j] = decw[j] | (dec.astype(jnp.uint32) << np.uint32(k % 32))
+            words.extend(_pack_states(dec, s_u))
         for j in range(n_words):
-            dec_ref[pl.ds(wi * n_words + j, 1)] = decw[j][None]
+            slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
+            dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
         return pm
 
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
@@ -286,10 +309,8 @@ def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
         for half in (1, 0):
             w = dec_ref[pl.ds(w64 * 2 + half, 1)][0]     # (64, 128) uint32
             for k in range(31, -1, -1):
-                sel = s == st
-                wbit = ((w >> np.uint32(k)) & 1).astype(jnp.int32)
-                dbit = jnp.sum(jnp.where(sel, wbit, 0), axis=0,
-                               keepdims=True)
+                dbit = _tb_bit(w[2 * k: 2 * k + 1],
+                               w[2 * k + 1: 2 * k + 2], st)
                 j = half * 4 + k // 8
                 by[j] = by[j] | ((st >> 5).astype(jnp.uint32)
                                  << np.uint32(7 - (k % 8)))
