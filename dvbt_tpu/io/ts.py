@@ -68,5 +68,7 @@ def device_get_complex(arr) -> np.ndarray:
     import jax
 
     p = jax.jit(lambda c: jnp.stack([c.real, c.imag], axis=-1))(arr)
-    out = np.asarray(p, np.float32)
+    # some backends hand back non-C-contiguous host buffers, and .view of a
+    # wider dtype requires a contiguous last axis
+    out = np.ascontiguousarray(np.asarray(p, np.float32))
     return out.view(np.complex64).reshape(arr.shape)

@@ -10,15 +10,21 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..utils.cplx import cis
+
 
 def awgn(key: jax.Array, iq: jnp.ndarray, snr_db: float) -> jnp.ndarray:
     """Add complex AWGN at the given SNR relative to measured signal power."""
     p_sig = jnp.mean(jnp.abs(iq) ** 2)
     p_noise = p_sig / (10.0 ** (snr_db / 10.0))
     k1, k2 = jax.random.split(key)
-    sigma = jnp.sqrt(p_noise / 2.0)
-    n = (jax.random.normal(k1, iq.shape) +
-         1j * jax.random.normal(k2, iq.shape)) * sigma
+    sigma = jnp.sqrt(p_noise / 2.0).astype(jnp.float32)
+    # build the complex noise via lax.complex from two real normals: complex
+    # transcendentals (and 1j * real promotion) are UNIMPLEMENTED on some TPU
+    # backends (the axon tunnel), and this path must run on-device for HW BER
+    # points (VERDICT r2 items 1/5)
+    n = jax.lax.complex(jax.random.normal(k1, iq.shape, jnp.float32),
+                        jax.random.normal(k2, iq.shape, jnp.float32)) * sigma
     return (iq + n).astype(jnp.complex64)
 
 
@@ -26,8 +32,11 @@ def apply_cfo(iq: jnp.ndarray, cfo_subcarriers: float, fft_len: int,
               phase0: float = 0.0) -> jnp.ndarray:
     """Rotate by a carrier frequency offset given in subcarrier spacings."""
     n = jnp.arange(iq.shape[-1], dtype=jnp.float32)
-    ang = 2.0 * jnp.pi * cfo_subcarriers * n / fft_len + phase0
-    return (iq * jnp.exp(1j * ang)).astype(jnp.complex64)
+    # rotator via utils.cplx.cis, NOT jnp.exp(1j*ang): complex exp is
+    # UNIMPLEMENTED on the axon TPU backend and killed the round-2 bench
+    # artifact (VERDICT r2 item 1)
+    rot = cis(2.0 * jnp.pi * cfo_subcarriers * n / fft_len + phase0)
+    return (iq * rot).astype(jnp.complex64)
 
 
 def apply_delay(iq: jnp.ndarray, delay: int) -> jnp.ndarray:

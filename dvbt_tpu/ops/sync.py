@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..mode import SYMBOLS_PER_FRAME, DvbtMode
+from ..utils.cplx import cis
 from . import ofdm, reference_signals
 
 DEFAULT_MAX_INT_CFO = 8
@@ -95,7 +96,7 @@ def make_synchronizer(mode: DvbtMode, n_samples_in: int, n_frames_out: int,
         # fractional-CFO derotation of the whole capture (integer CFO does
         # not break subcarrier orthogonality, so it is corrected post-FFT)
         n = jnp.arange(n_samples_in, dtype=jnp.float32)
-        rot = jnp.exp(-2j * jnp.pi * cfo_frac * n / N).astype(jnp.complex64)
+        rot = cis(-2.0 * jnp.pi * cfo_frac * n / N)
         r = iq * rot
 
         syms = jax.lax.dynamic_slice(r, (theta_b,), (n_sym_avail * L,))
@@ -145,7 +146,7 @@ def make_synchronizer(mode: DvbtMode, n_samples_in: int, n_frames_out: int,
         start = theta_b + c_full * L
         aligned = jax.lax.dynamic_slice(r, (start,), (n_out,))
         m = jnp.arange(n_out, dtype=jnp.float32)
-        irot = jnp.exp(-2j * jnp.pi * cfo_int.astype(jnp.float32) * m / N)
+        irot = cis(-2.0 * jnp.pi * cfo_int.astype(jnp.float32) * m / N)
         aligned = (aligned * irot).astype(jnp.complex64)
 
         info = {
@@ -177,7 +178,7 @@ def make_tracker(mode: DvbtMode, n_frames_out: int,
               phase: jnp.ndarray):
         cfo = cfo_frac + cfo_int.astype(jnp.float32)
         n = jnp.arange(n_out, dtype=jnp.float32)
-        rot = jnp.exp(1j * (-2.0 * jnp.pi * cfo * n / N + phase))
+        rot = cis(-2.0 * jnp.pi * cfo * n / N + phase)
         phase1 = jnp.mod(phase - 2.0 * jnp.pi * cfo * n_out / N,
                          2.0 * jnp.pi).astype(jnp.float32)
         return (iq * rot).astype(jnp.complex64), phase1
