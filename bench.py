@@ -68,7 +68,7 @@ def hw_parity(rate: str = "2/3", n_bits: int = 129024) -> dict:
     return {"coder_hw_parity": coder_ok, "viterbi_hw_parity": vit_ok}
 
 
-def tracked_bench(mode, n_blocks: int = 10) -> dict:
+def tracked_bench(mode, n_blocks: int = 12) -> dict:
     """Deployable-receiver throughput (VERDICT r1 item 8): the FULL
     StreamingReceiver path — initial CP-correlation acquisition, then the
     locked track (NCO derotation + SCO loop) + decode chain per block —
@@ -96,7 +96,7 @@ def tracked_bench(mode, n_blocks: int = 10) -> dict:
         iq = channel.apply_cfo(iq, 0.31, mode.fft_len, phase0=phase0)
         blocks.append(tsio.device_get_complex(iq))
 
-    srx = StreamingReceiver(mode, n_frames)
+    srx = StreamingReceiver(mode, n_frames, pipeline=3)
     # warmup: compiles sync + track + rx programs, acquires lock (the
     # acquisition search needs ~2 blocks of capture before the first report).
     # Bounded so a sync regression reports tracked_locked=false instead of
@@ -110,6 +110,7 @@ def tracked_bench(mode, n_blocks: int = 10) -> dict:
         return {"tracked_locked": False, "tracked_msps": None,
                 "tracked_blocks": 0, "tracked_rs_uncorrectable": None}
     reports += srx.feed(blocks[warm])  # one locked block: track program
+    reports += srx.flush()
     warm += 1
     t0 = time.time()
     n_bad = 0
@@ -118,6 +119,8 @@ def tracked_bench(mode, n_blocks: int = 10) -> dict:
         for r in srx.feed(blocks[b]):
             n_bad += int(r.rs_uncorrectable.sum())
         fed += len(blocks[b])
+    for r in srx.flush():    # in-flight blocks are part of the measurement
+        n_bad += int(r.rs_uncorrectable.sum())
     elapsed = time.time() - t0
     return {
         "tracked_msps": round(fed / elapsed / 1e6, 3),

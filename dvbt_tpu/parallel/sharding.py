@@ -120,4 +120,13 @@ def dryrun(mode: DvbtMode, n_devices: int, muxes_per_device: int = 1):
         NamedSharding(tmesh, P("time")))
     carry, ts, tfleet = tstep(carry, tpk)
     jax.block_until_ready(ts)
+
+    # and the explicit Pallas RDMA halo ring (SURVEY.md §5.8): real Mosaic
+    # lowering on TPU meshes, TPU-interpret on the virtual CPU mesh
+    halo = "ring-interpret" if jax.default_backend() == "cpu" else "ring"
+    rstep, _, rcarry = tsh.make_time_sharded_loopback(mode, tmesh, halo=halo)
+    rcarry, rts, _ = rstep(rcarry, tpk)
+    jax.block_until_ready(rts)
+    assert np.array_equal(np.asarray(rts), np.asarray(ts)), \
+        "ring halo path diverged from ppermute path"
     return out, fleet

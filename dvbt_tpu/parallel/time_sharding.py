@@ -160,16 +160,21 @@ def make_rx_state_from_halo(mode: DvbtMode):
     return recompute
 
 
-def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh):
+def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
+                               halo: str = "ppermute"):
     """Returns (step, n_pk_blk, carry0).
 
     step(carry, packets (D*P, 188) sharded over 'time')
       -> (carry', ts (D*P, 188) sharded, fleet metrics)
 
     Each device transmits and receives one super-block; TX packet halos and
-    RX sample halos ride the ICI ring via ppermute.  carry holds the host-
-    side tail of the previous step for device 0 plus the global step count.
+    RX sample halos ride the ICI ring — via `ppermute` (default) or via the
+    explicit Pallas RDMA ring (`halo="ring"`; `"ring-interpret"` runs the
+    same kernel in TPU interpret mode, the CPU-mesh CI path).  carry holds
+    the host-side tail of the previous step for device 0 plus the global
+    step count.
     """
+    assert halo in ("ppermute", "ring", "ring-interpret")
     D = mesh.devices.size
     tx, n_pk, n_samp = txm.make_transmitter(mode)
     rx, _, _ = rxm.make_receiver(mode)
@@ -178,6 +183,18 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh):
     H = rx_halo_symbols(mode)
     L = mode.symbol_len
     halo_samp = H * L
+    if halo == "ppermute":
+        def shift_pk(v):
+            return jax.lax.ppermute(
+                v, "time", [(i, (i + 1) % D) for i in range(D)])
+        shift_iq = shift_pk
+    else:
+        from . import ring
+        interp = halo.endswith("interpret")
+        shift_pk = ring.make_ring_shift("time", interpret=interp,
+                                        collective_id=11)
+        shift_iq = ring.make_ring_shift("time", interpret=interp,
+                                        collective_id=12)
 
     def local(carry, packets):
         # packets: (P, 188) on this shard
@@ -187,8 +204,7 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh):
 
         # --- TX ---------------------------------------------------------
         my_tail_pk = packets[-HALO_PACKETS:]
-        halo_pk = jax.lax.ppermute(
-            my_tail_pk, "time", [(i, (i + 1) % D) for i in range(D)])
+        halo_pk = shift_pk(my_tail_pk)
         halo_pk = jnp.where(d == 0, prev_pk, halo_pk)
         tstate = tx_state_of(block_idx, halo_pk)
         tstate = jax.tree.map(
@@ -198,8 +214,7 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh):
 
         # --- RX (sample halo from the left neighbor's TX output) ---------
         my_tail_iq = iq[-halo_samp:]
-        halo_iq = jax.lax.ppermute(
-            my_tail_iq, "time", [(i, (i + 1) % D) for i in range(D)])
+        halo_iq = shift_iq(my_tail_iq)
         halo_iq = jnp.where(d == 0, prev_iq, halo_iq)
         rstate = rx_state_of(block_idx, halo_iq)
         _, ts, metrics = rx(rstate, iq)

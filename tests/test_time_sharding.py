@@ -51,6 +51,61 @@ def test_time_sharded_loopback_matches_streaming(mode):
     assert np.array_equal(got, ref)
 
 
+def test_pallas_ring_shift_matches_ppermute():
+    """The RDMA halo ring (parallel/ring.py, SURVEY.md §5.8) must be a
+    drop-in for ppermute — checked per payload dtype in interpret mode."""
+    from dvbt_tpu.parallel import ring
+    D = 8
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("time",))
+    rng = np.random.default_rng(0)
+    payloads = [
+        jnp.asarray(rng.integers(0, 256, (12, 188)), jnp.uint8),
+        jnp.asarray(rng.normal(size=(257,)) + 1j * rng.normal(size=(257,)),
+                    jnp.complex64),
+        jnp.asarray(rng.normal(size=(64, 8)), jnp.float32),
+    ]
+    for k, x in enumerate(payloads):
+        shift = ring.make_ring_shift("time", interpret=True,
+                                     collective_id=k + 1)
+        full = jnp.stack([x + i for i in range(D)]
+                         ) if x.dtype != jnp.uint8 else jnp.stack(
+            [(x.astype(jnp.int32) + i).astype(jnp.uint8)
+             for i in range(D)])
+        f = jax.jit(jax.shard_map(shift, mesh=mesh, in_specs=P("time"),
+                                  out_specs=P("time"), check_vma=False))
+        ref = jax.jit(jax.shard_map(
+            lambda v: jax.lax.ppermute(
+                v, "time", [(i, (i + 1) % D) for i in range(D)]),
+            mesh=mesh, in_specs=P("time"), out_specs=P("time"),
+            check_vma=False))(full)
+        got = f(full)
+        assert got.dtype == full.dtype
+        assert np.array_equal(np.asarray(got), np.asarray(ref)), x.dtype
+
+
+def test_time_sharded_ring_halo_matches_ppermute_path():
+    """Full loopback with halo='ring-interpret' must be byte-identical to
+    the ppermute halo path (and hence to single-chip streaming)."""
+    mode = MODE_2K_QPSK
+    D = 4
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("time",))
+    n_steps = 2
+    sh = NamedSharding(mesh, P("time"))
+    outs = {}
+    for halo in ("ppermute", "ring-interpret"):
+        step, n_pk, carry = tsh.make_time_sharded_loopback(mode, mesh,
+                                                           halo=halo)
+        packets = tsio.make_ts_packets(n_pk * D * n_steps, seed=5)
+        got = []
+        for s in range(n_steps):
+            chunk = jax.device_put(
+                jnp.asarray(packets[s * D * n_pk:(s + 1) * D * n_pk]), sh)
+            carry, ts, _ = step(carry, chunk)
+            got.append(np.asarray(ts))
+        outs[halo] = np.concatenate(got)
+    assert np.array_equal(outs["ppermute"], outs["ring-interpret"])
+
+
 def test_rx_halo_symbol_budget():
     # the halo must stay well under one frame for every standard mode
     for t in ("2k", "8k"):
