@@ -14,6 +14,7 @@ import time
 import numpy as np
 
 from ..io import ts as tsio
+from ..io.source import open_source
 from ..models.loopback import StreamingReceiver
 from . import common
 
@@ -22,7 +23,9 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     common.add_mode_args(p)
     p.add_argument("--in", dest="infile", required=True,
-                   help="input IQ file (raw complex64)")
+                   help="input IQ source: raw-complex64 file path, or an "
+                        "SDR URL (usrp://…, rtlsdr://…) once a driver "
+                        "implements io.source.SampleSource")
     p.add_argument("--out", dest="outfile", required=True,
                    help="output .ts file")
     p.add_argument("--out-lp", dest="outfile_lp",
@@ -40,23 +43,32 @@ def main(argv=None) -> int:
         else None
     t0 = time.time()
     n_blocks = n_corr = n_bad = n_samples = 0
-    with open(a.infile, "rb") as fi, open(a.outfile, "wb") as fo:
+
+    def emit(rep):
+        nonlocal n_blocks, n_corr, n_bad
+        n_blocks += 1
+        n_corr += int(rep.rs_corrected.sum())
+        n_bad += int(rep.rs_uncorrectable.sum())
+        if rep.reacquired:
+            print(f"rx: acquired at sample {rep.stream_offset} "
+                  f"(cfo {float(rep.info['cfo_frac']) + float(rep.info['cfo_int']):+.3f} "
+                  f"subcarriers)", file=sys.stderr)
+        rep.packets.tofile(fo)
+        if flp is not None:
+            rep.packets_lp.tofile(flp)
+
+    src = open_source(a.infile)
+    with open(a.outfile, "wb") as fo:
         while True:
-            chunk = np.fromfile(fi, dtype=np.complex64, count=a.chunk)
+            chunk = src.read(a.chunk)
             if len(chunk) == 0:
                 break
             n_samples += len(chunk)
             for rep in srx.feed(chunk):
-                n_blocks += 1
-                n_corr += int(rep.rs_corrected.sum())
-                n_bad += int(rep.rs_uncorrectable.sum())
-                if rep.reacquired:
-                    print(f"rx: acquired at sample {rep.stream_offset} "
-                          f"(cfo {float(rep.info['cfo_frac']) + float(rep.info['cfo_int']):+.3f} "
-                          f"subcarriers)", file=sys.stderr)
-                rep.packets.tofile(fo)
-                if flp is not None:
-                    rep.packets_lp.tofile(flp)
+                emit(rep)
+        for rep in srx.flush():
+            emit(rep)
+    src.close()
     if flp is not None:
         flp.close()
     dt = time.time() - t0

@@ -1,0 +1,85 @@
+"""Sample sources: the seam where live SDR hardware plugs in.
+
+The reference runs file→file, file→USRP and RTL-SDR/USRP→file flowgraphs
+(SURVEY.md §0); the hardware endpoints are GNU Radio source/sink blocks
+outside gr-dvbt itself.  Here the equivalent seam is the `SampleSource`
+protocol: anything with ``read(n) -> complex64 ndarray`` can drive
+`models.loopback.StreamingReceiver` through `apps/rx.py`.  A USRP/RTL-SDR
+implementation would wrap the vendor stream API in `read`; this
+environment has no SDR hardware (and no drivers), so the shipped
+implementations are file- and array-backed.
+
+`open_source` maps a CLI spec to a source: a plain path is a raw-complex64
+IQ file; ``usrp://...`` / ``rtlsdr://...`` name the hardware seam and raise
+with a pointer to this protocol until a driver lands.
+"""
+
+from __future__ import annotations
+
+from typing import Protocol, runtime_checkable
+
+import numpy as np
+
+
+@runtime_checkable
+class SampleSource(Protocol):
+    """Streaming complex-baseband source.
+
+    read(n) returns UP TO n complex64 samples; an empty array signals end
+    of stream.  Implementations may block until samples are available
+    (live hardware) — the receiver consumes whatever arrives.
+    """
+
+    def read(self, n: int) -> np.ndarray: ...
+
+    def close(self) -> None: ...
+
+
+class FileSource:
+    """Raw interleaved-complex64 IQ file (GNU Radio file_source format)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "rb")
+
+    def read(self, n: int) -> np.ndarray:
+        return np.fromfile(self._f, dtype=np.complex64, count=n)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ArraySource:
+    """In-memory source (tests, synthesized streams)."""
+
+    def __init__(self, samples: np.ndarray):
+        self._s = np.asarray(samples, np.complex64)
+        self._pos = 0
+
+    def read(self, n: int) -> np.ndarray:
+        out = self._s[self._pos: self._pos + n]
+        self._pos += len(out)
+        return out
+
+    def close(self) -> None:
+        self._pos = len(self._s)
+
+
+_HW_SCHEMES = ("usrp://", "rtlsdr://", "soapy://")
+
+
+def open_source(spec: str) -> SampleSource:
+    """CLI spec -> SampleSource.  Plain path = IQ file; SDR URL schemes are
+    the documented hardware seam."""
+    for scheme in _HW_SCHEMES:
+        if spec.startswith(scheme):
+            raise NotImplementedError(
+                f"{scheme} sources need an SDR driver: implement "
+                "dvbt_tpu.io.source.SampleSource (read(n) -> complex64) "
+                "over the vendor stream API and register it here.")
+    return FileSource(spec)

@@ -168,5 +168,7 @@ def make_viterbi_decoder(n_bits: int, body: int | None = None,
 
 
 def init_state(overlap: int = DEFAULT_OVERLAP):
-    z = jnp.zeros((overlap,), jnp.uint8)
-    return {"x": z, "y": z, "xm": z, "ym": z}
+    # four DISTINCT buffers: aliasing one zeros array into all leaves
+    # breaks donate_argnums ("attempt to donate the same buffer twice")
+    return {k: jnp.zeros((overlap,), jnp.uint8)
+            for k in ("x", "y", "xm", "ym")}
