@@ -25,7 +25,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 
-def hw_parity(rate: str = "2/3", n_bits: int = 129024) -> dict:
+def hw_parity(rate: str = "2/3", n_bits: int = 107520) -> dict:
+    # n_bits = 105 * 1024: divisible by 8 and by every puncture period
+    # (1,2,3,5,7) — 129024 broke the 5/6 reference reshape (not % 5)
     """On-device bit-exactness gate for the two Pallas kernels (VERDICT r1
     item 5): Mosaic lowering != interpreter, and RS's 8-byte correction
     budget could hide a lowering regression in the loopback metric.
@@ -76,7 +78,10 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
 
     The stream carries a fractional CFO so the tracker genuinely derotates.
     Host<->device block transfers are part of the measured path (they are
-    part of deploying this receiver).
+    part of deploying this receiver).  Block size matters on this backend:
+    dispatch+transfer overhead is ~100 ms/block regardless of size, so the
+    deployable configuration carries multi-superframe blocks
+    (DVBT_TRACKED_FRAMES, default 8 frames ≈ 0.5 s of air time each).
     """
     import numpy as np
 
@@ -84,7 +89,9 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
     from dvbt_tpu.models import channel, tx as txm
     from dvbt_tpu.models.loopback import StreamingReceiver
 
-    n_frames = mode.frames_per_block * 2
+    n_frames = mode.frames_per_block * int(os.environ.get(
+        "DVBT_TRACKED_FRAMES", "8"))
+    n_blocks = int(os.environ.get("DVBT_TRACKED_BLOCKS", n_blocks))
     tx, n_pk, n_samp = txm.make_transmitter(mode, n_frames)
     tst = txm.init_tx_state(mode)
     pk = tsio.make_ts_packets(n_pk * n_blocks, seed=7)
@@ -96,7 +103,7 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
         iq = channel.apply_cfo(iq, 0.31, mode.fft_len, phase0=phase0)
         blocks.append(tsio.device_get_complex(iq))
 
-    srx = StreamingReceiver(mode, n_frames, pipeline=3)
+    srx = StreamingReceiver(mode, n_frames, pipeline=4)
     # warmup: compiles sync + track + rx programs, acquires lock (the
     # acquisition search needs ~2 blocks of capture before the first report).
     # Bounded so a sync regression reports tracked_locked=false instead of

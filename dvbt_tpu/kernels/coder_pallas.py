@@ -85,8 +85,13 @@ def make_byte_coder(n_bytes: int, rate: str, interpret: bool = False):
     assert n_bits % period == 0
     n_coded = n_bits // period * keep
 
-    # segment size: multiple of 8*period (byte- and puncture-aligned)
-    c = _TARGET_C - (_TARGET_C % (8 * period))
+    # segment size: multiple of 8*period (byte- and puncture-aligned).
+    # Large periods expand the in-kernel bit planes (out rows = C/period *
+    # keep, plus x/y int32 expansions) past the 16 MiB scoped-vmem limit —
+    # rate 7/8 OOM'd at C=4088 with a 17.3 MiB stack — so halve the
+    # segment there (more, smaller grid steps; same arithmetic).
+    target = _TARGET_C // 2 if period >= 7 else _TARGET_C
+    c = target - (target % (8 * period))
     c8 = c // 8
     n_seg = -(-n_bytes // c8)
     g = -(-n_seg // LANES)

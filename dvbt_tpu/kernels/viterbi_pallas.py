@@ -235,20 +235,41 @@ def _pattern(rate: str):
     return period, len(order), tuple(rank)
 
 
-def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
-                      ov):
+def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
+                      body, ov, style):
     """in_ref: (Lc, 128) uint8 soft coded values (0..15); out_ref:
-    (L//8, 128) uint8 decoded bytes; dec_ref: (L//32, 64, 128) uint32."""
+    (L//8, 128) uint8 decoded bytes.
+
+    Two survivor-memory strategies (`style`, A/B-tunable on hardware):
+
+    * "regx" — register exchange: each state carries
+        H[s] = last 32 output bits of s's survivor (bit 0 newest), and
+        A[s] = survivor's state at the previous 32-step word boundary,
+      both updated through the same even/odd butterfly select as the path
+      metric and stored once per 32 steps (scratch: two (L/32, 64, 128)
+      slabs).  The traceback jumps a whole word per iteration: two one-hot
+      sublane reductions (H word = 32 decoded bits, A word = next
+      traceback state).
+    * "pack" — per-step decisions packed 64-states-per-word-pair via two
+      sublane-sum reductions per trellis step (scratch: one slab array);
+      bit-serial traceback.
+
+    Branch metrics (both styles): cost0(s) = m*(soft + par0(s)*(15-2*soft))
+    is a 2-way select between the (1,128) rows `soft` and `15-soft` by the
+    static per-state parity plane — 1 broadcast-select per tap instead of
+    a (64,128) multiply chain.
+    """
     period, keep, rank = _pattern(rate)
     W = 32 * period if period % 2 else 32    # steps per fwd iteration
     Wc = W // period * keep                  # coded rows per iteration
     n_iter = L // W
-    n_words = W // 32                        # decision words per iteration
+    n_words = W // 32                        # register slabs per iteration
 
     s = jax.lax.broadcasted_iota(jnp.int32, (N_STATES, LANES), 0)
     s_u = s.astype(jnp.uint32)
-    pox0 = _parity((s << 1) & G1)            # d=0 branch outputs per state
-    poy0 = _parity((s << 1) & G2)
+    pox0 = _parity((s << 1) & G1) > 0        # d=0 branch outputs per state
+    poy0 = _parity((s << 1) & G2) > 0
+    top = s >> 5                             # survivor output bit per state
     # per-lane count of VALID extended-stream steps: window w covers steps
     # [w*body, w*body + L) of [carried ov | n_bits data | zero pad]; the pad
     # must contribute ZERO branch metric (erasure), like the masked pad of
@@ -257,69 +278,132 @@ def _vit_punct_kernel(in_ref, out_ref, dec_ref, *, L, rate, n_bits, body,
              + jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1))
     vc = ov + n_bits - w_ids * body          # (1, 128)
 
-    def fwd_iter(wi, pm):
-        rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)  # (Wc, 128)
-        words = []
-        for k in range(W):
-            q = k % period
-            base = (k // period) * keep
-            rx_, ry_ = rank[2 * q], rank[2 * q + 1]
-            valid = (vc > wi * W + k).astype(jnp.int32)        # (1, 128)
-            # static puncture pattern: a masked tap contributes nothing
-            terms0 = []
-            const1 = 0
-            if rx_ >= 0:
-                sx = rows[base + rx_: base + rx_ + 1]          # (1, 128)
-                terms0.append(sx + pox0 * (15 - 2 * sx))
-                const1 += 15
-            if ry_ >= 0:
-                sy = rows[base + ry_: base + ry_ + 1]
-                terms0.append(sy + poy0 * (15 - 2 * sy))
-                const1 += 15
-            bm0 = terms0[0] if terms0 else jnp.zeros(
-                (N_STATES, LANES), jnp.int32)
-            for t in terms0[1:]:
-                bm0 = bm0 + t
-            bm0 = bm0 * valid
-            bm1 = const1 * valid - bm0
-            pm3 = pm.reshape(32, 2, LANES)
-            even, odd = pm3[:, 0], pm3[:, 1]
-            c0 = jnp.concatenate([even, even], axis=0) + bm0
-            c1 = jnp.concatenate([odd, odd], axis=0) + bm1
-            dec = c1 < c0
-            pm = jnp.minimum(c0, c1)
-            words.extend(_pack_states(dec, s_u))
-        for j in range(n_words):
-            slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
-            dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
-        return pm
+    def branch_metrics(rows, wi, k):
+        q = k % period
+        base = (k // period) * keep
+        rx_, ry_ = rank[2 * q], rank[2 * q + 1]
+        valid = (vc > wi * W + k).astype(jnp.int32)        # (1, 128)
+        # static puncture pattern: a masked tap contributes nothing
+        terms0 = []
+        const1 = 0
+        if rx_ >= 0:
+            sx = rows[base + rx_: base + rx_ + 1]          # (1, 128)
+            terms0.append(jnp.where(pox0, 15 - sx, sx))
+            const1 += 15
+        if ry_ >= 0:
+            sy = rows[base + ry_: base + ry_ + 1]
+            terms0.append(jnp.where(poy0, 15 - sy, sy))
+            const1 += 15
+        bm0 = terms0[0] if terms0 else jnp.zeros(
+            (N_STATES, LANES), jnp.int32)
+        for t in terms0[1:]:
+            bm0 = bm0 + t
+        bm0 = bm0 * valid
+        bm1 = const1 * valid - bm0
+        return bm0, bm1
+
+    def butterfly(x):
+        """(64,128) -> even/odd predecessor planes via sublane reshape
+        (strided slices would lower to a Mosaic gather)."""
+        x3 = x.reshape(32, 2, LANES)
+        e, o = x3[:, 0], x3[:, 1]
+        return (jnp.concatenate([e, e], axis=0),
+                jnp.concatenate([o, o], axis=0))
 
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
-    pm_fin = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
+
+    if style == "regx":
+        h_ref, a_ref = scratch
+
+        def fwd_iter(wi, carry):
+            pm, H, A = carry
+            rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
+            h_slabs, a_slabs = [], []
+            for k in range(W):
+                bm0, bm1 = branch_metrics(rows, wi, k)
+                ce, co = butterfly(pm)
+                c0, c1 = ce + bm0, co + bm1
+                dec = c1 < c0
+                pm = jnp.minimum(c0, c1)
+                He, Ho = butterfly(H)
+                H = (jnp.where(dec, Ho, He) << 1) | top
+                Ae, Ao = butterfly(A)
+                A = jnp.where(dec, Ao, Ae)
+                if k % 32 == 31:
+                    h_slabs.append(H)
+                    a_slabs.append(A)
+                    A = s                            # reset to identity
+            for j in range(n_words):
+                h_ref[pl.ds(wi * n_words + j, 1)] = h_slabs[j][None]
+                a_ref[pl.ds(wi * n_words + j, 1)] = a_slabs[j][None]
+            return pm, H, A
+
+        pm_fin, _, _ = jax.lax.fori_loop(
+            0, n_iter, fwd_iter, (pm0, jnp.zeros_like(pm0), s))
+    else:
+        dec_ref, = scratch
+
+        def fwd_iter(wi, pm):
+            rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
+            words = []
+            for k in range(W):
+                bm0, bm1 = branch_metrics(rows, wi, k)
+                ce, co = butterfly(pm)
+                c0, c1 = ce + bm0, co + bm1
+                dec = c1 < c0
+                pm = jnp.minimum(c0, c1)
+                words.extend(_pack_states(dec, s_u))
+            for j in range(n_words):
+                slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
+                dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
+            return pm
+
+        pm_fin = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
 
     # traceback (reverse), packing 8 decoded bits per BYTE row (MSB-first).
-    # 64 steps (2 decision words) per iteration so the uint8 output store is
+    # 64 steps (2 slab words) per iteration so the uint8 output store is
     # 8 rows at an 8-aligned dynamic offset (Mosaic requires the dim-0 index
     # of a packed i8 vector store to be provably a multiple of 8).
     pm_min = jnp.min(pm_fin, axis=0, keepdims=True)
     s_end = jnp.min(jnp.where(pm_fin == pm_min, s, N_STATES),
                     axis=0, keepdims=True)
 
-    def bwd_pair(i, st):
-        w64 = L // 64 - 1 - i
-        by = [jnp.zeros((1, LANES), jnp.uint32) for _ in range(8)]
-        for half in (1, 0):
-            w = dec_ref[pl.ds(w64 * 2 + half, 1)][0]     # (64, 128) uint32
-            for k in range(31, -1, -1):
-                dbit = _tb_bit(w[2 * k: 2 * k + 1],
-                               w[2 * k + 1: 2 * k + 2], st)
-                j = half * 4 + k // 8
-                by[j] = by[j] | ((st >> 5).astype(jnp.uint32)
-                                 << np.uint32(7 - (k % 8)))
-                st = ((st & 31) << 1) | dbit
-        out_ref[pl.ds(w64 * 8, 8), :] = jnp.concatenate(
-            by, axis=0).astype(jnp.uint8)
-        return st
+    if style == "regx":
+        def _sel(slab, st):
+            """slab (64,128) int32, st (1,128) -> slab[st] per lane."""
+            return jnp.sum(jnp.where(s == st, slab, 0), axis=0,
+                           keepdims=True)
+
+        def bwd_pair(i, st):
+            w64 = L // 64 - 1 - i
+            by = [None] * 8
+            for half in (1, 0):
+                w = w64 * 2 + half
+                hw = _sel(h_ref[pl.ds(w, 1)][0], st)     # 32 decoded bits
+                st = _sel(a_ref[pl.ds(w, 1)][0], st)     # previous boundary
+                # H bit 31-j = output bit of in-word step j: byte j of this
+                # word = bits [31-8j .. 24-8j], MSB-first within the byte
+                for j in range(4):
+                    by[half * 4 + j] = (hw >> (24 - 8 * j)) & 0xFF
+            out_ref[pl.ds(w64 * 8, 8), :] = jnp.concatenate(
+                by, axis=0).astype(jnp.uint8)
+            return st
+    else:
+        def bwd_pair(i, st):
+            w64 = L // 64 - 1 - i
+            by = [jnp.zeros((1, LANES), jnp.uint32) for _ in range(8)]
+            for half in (1, 0):
+                w = dec_ref[pl.ds(w64 * 2 + half, 1)][0]  # (64, 128) uint32
+                for k in range(31, -1, -1):
+                    dbit = _tb_bit(w[2 * k: 2 * k + 1],
+                                   w[2 * k + 1: 2 * k + 2], st)
+                    j = half * 4 + k // 8
+                    by[j] = by[j] | ((st >> 5).astype(jnp.uint32)
+                                     << np.uint32(7 - (k % 8)))
+                    st = ((st & 31) << 1) | dbit
+            out_ref[pl.ds(w64 * 8, 8), :] = jnp.concatenate(
+                by, axis=0).astype(jnp.uint8)
+            return st
 
     jax.lax.fori_loop(0, L // 64, bwd_pair, s_end)
 
@@ -343,10 +427,33 @@ def punct_geometry(n_bits: int, rate: str, body: int | None = None,
     return b, ov
 
 
+VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MiB scoped-vmem limit
+
+
+def _cap_body(n_bits: int, rate: str, body: int | None, n_slabs: int) -> int:
+    """Largest body <= auto_body whose kernel VMEM footprint (survivor
+    slabs + in/out blocks) stays inside VMEM_BUDGET — the period-7 rates
+    OOM'd the 16 MiB scoped-vmem limit at the default 4096 body."""
+    if body is not None:
+        return body
+    period, keep, _ = _pattern(rate)
+    b = auto_body(n_bits)
+    while b > 256:
+        trial, ov = punct_geometry(n_bits, rate, b)
+        L = trial + 2 * ov
+        vmem = (n_slabs * (L // 32) * N_STATES * LANES * 4
+                + (L // period * keep) * LANES + (L // 8) * LANES)
+        if vmem <= VMEM_BUDGET:
+            return trial
+        b -= 256
+    return b
+
+
 def make_viterbi_decoder_punctured(n_bits: int, rate: str,
                                    body: int | None = None,
                                    overlap: int = DEFAULT_OVERLAP,
-                                   interpret: bool = False):
+                                   interpret: bool = False,
+                                   style: str | None = None):
     """Rate-specialized decoder: decode(state, coded) -> (state', bytes).
 
     coded : uint8 (n_coded,) PUNCTURED soft stream (0..15), n_coded =
@@ -355,9 +462,21 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
             decoders (impl-independent checkpoints); overlap must equal
             ops.viterbi.effective_overlap(rate, ...).
     bytes : uint8 (n_bits//8,) decoded info bytes (MSB-first).
+    style : survivor-memory strategy, "pack" (default) or "regx" — see
+            _vit_punct_kernel; both bit-exact, A/B-measured on hardware at
+            the 8K bench shape: pack 1.70 Gbit/s vs regx 0.87 (the three
+            butterfly concat/select chains cost more than the two packed-
+            decision reductions they replace).  Env: DVBT_VIT_STYLE.
     """
+    if style is None:
+        import os
+        style = os.environ.get("DVBT_VIT_STYLE", "pack")
+    assert style in ("pack", "regx"), style
+    n_slabs = 2 if style == "regx" else 1
     period, keep, rank = _pattern(rate)
-    body, ov = punct_geometry(n_bits, rate, body, overlap)
+    body, ov = punct_geometry(n_bits, rate,
+                              _cap_body(n_bits, rate, body, n_slabs),
+                              overlap)
     L = body + 2 * ov
     n_win = -(-n_bits // body)
     nw = -(-n_win // LANES) * LANES
@@ -368,7 +487,8 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
     n_c = n_bits // period * keep
 
     kern = functools.partial(_vit_punct_kernel, L=L, rate=rate,
-                             n_bits=n_bits, body=body, ov=ov)
+                             n_bits=n_bits, body=body, ov=ov, style=style)
+    slab_dtype = jnp.int32 if style == "regx" else jnp.uint32
     call = pl.pallas_call(
         kern,
         grid=(nw // LANES,),
@@ -377,7 +497,8 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
         out_specs=pl.BlockSpec((L8, LANES), lambda c: (0, c),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((L8, nw), jnp.uint8),
-        scratch_shapes=[pltpu.VMEM((L // 32, N_STATES, LANES), jnp.uint32)],
+        scratch_shapes=[pltpu.VMEM((L // 32, N_STATES, LANES), slab_dtype)
+                        for _ in range(n_slabs)],
         interpret=interpret,
     )
 

@@ -178,7 +178,7 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
     assert demap in ("hard", "soft")
     qdemap = mapper.make_demapper(mode)
     qmap_points = mapper.make_mapper(mode)
-    bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    bit_dilv = bit_interleaver.make_bit_deinterleaver(mode, scale=15)
     if demap == "soft":
         soft_demap = mapper.make_soft_demapper(mode)
         soft_bit_dilv = bit_interleaver.make_soft_bit_deinterleaver(mode)
@@ -213,12 +213,16 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         # demap everything (elementwise; pilot columns are don't-cares),
         # then extract+symbol-deinterleave as one fused row-take permutation
         with jax.named_scope("demap_deinterleave"):
-            cells = cell_dilv(qdemap(X))               # (F, 68, C)
+            q = qdemap(X)                              # (F, 68, K)
+            cells = cell_dilv(q)                       # (F, 68, C)
         # MER / SNR estimate (SURVEY.md §5.5 observability): error power of
-        # the equalized payload cells vs their hard decisions
-        X_cells = cell_dilv(X)
-        p_hat = qmap_points(cells)
-        err = X_cells - p_hat
+        # the equalized payload cells vs their hard decisions.  The sums are
+        # permutation-invariant, so they run on the raw carrier board under
+        # a static payload mask — no second full-size deinterleave.
+        dmask = reference_signals._tile68(
+            reference_signals.data_cell_mask(mode))    # (68, K)
+        p_hat = jnp.where(dmask, qmap_points(q), 0.0)
+        err = jnp.where(dmask, X - p_hat, 0.0)
         mer_db = 10.0 * jnp.log10(
             jnp.sum(jnp.abs(p_hat) ** 2)
             / jnp.maximum(jnp.sum(jnp.abs(err) ** 2), 1e-12))
@@ -230,7 +234,8 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             bits = soft_bit_dilv(sm)                   # (F, 68, C*v) 0..15
         else:
             # hard decisions as saturated soft metrics {0,15} for Viterbi
-            bits = bit_dilv(cells) * np.uint8(15)      # (F, 68, C*v)
+            # (the x15 rides the deinterleaver matmul via scale=15)
+            bits = bit_dilv(cells)                     # (F, 68, C*v)
         hp_state = {k: state[k] for k in
                     ("deint_tail", "viterbi", "descr_phase", "descr_locked")}
         if mode.hierarchical:

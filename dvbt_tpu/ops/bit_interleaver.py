@@ -5,10 +5,15 @@ Reference behavior: `lib/bit_inner_interleaver_impl.cc` [unverified — mount
 empty]; spec: EN300744 §4.3.4.1.
 
 TPU-native design: demux, the six cyclic block interleavers, and the
-bits->cell packing all compose into ONE static (n_payload, v) gather index
-array per symbol, built from tables.bit_interleaver_indices.  Interleaving a
-whole symbol (or a frame of them) is a single gather + weighted sum; the
-inverse is a single scatter.  Stateless.
+bits->cell packing compose into ONE static permutation that is identical
+for every 126-cell block.  Rather than a minor-axis gather/scatter (slow on
+TPU — measured 2.1-2.4 ms per step in the fused programs), the per-block
+permutation is materialized as a small one-hot matrix and applied as a
+batched (..., 126v) @ (126v, ·) bf16 matmul on the MXU; the cell packing
+weights (2^(v-1-j)) fold into the same matrix, so interleave+pack is one
+matmul.  All values (bits, 4-bit soft metrics, weights up to 32) are exactly
+representable in bf16 and the MXU accumulates in f32, so the result is
+exact.  Stateless.
 """
 
 from __future__ import annotations
@@ -22,7 +27,9 @@ from ..mode import DvbtMode
 
 
 def _symbol_indices(mode: DvbtMode) -> np.ndarray:
-    """(n_payload, v) source bit index within one symbol's coded-bit block."""
+    """(n_payload, v) source bit index within one symbol's coded-bit block
+    (the reference permutation; kept as the test oracle for the matmul
+    forms below)."""
     blk = tables.bit_interleaver_indices(mode.v, mode.hierarchical)  # (126, v)
     n_blocks = mode.n_payload // tables.BIT_ILV_BLOCK
     per_block = tables.BIT_ILV_BLOCK * mode.v
@@ -32,55 +39,79 @@ def _symbol_indices(mode: DvbtMode) -> np.ndarray:
     return out
 
 
-def _device_indices(mode: DvbtMode) -> jnp.ndarray:
-    """(n_payload, v) gather index built on device: tiny (126, v) base block
-    + per-block iota offsets (no big embedded constants)."""
+def _block_dims(mode: DvbtMode):
     blk = tables.bit_interleaver_indices(mode.v, mode.hierarchical)
     n_blocks = mode.n_payload // tables.BIT_ILV_BLOCK
-    per_block = tables.BIT_ILV_BLOCK * mode.v
-    offs = jnp.arange(n_blocks, dtype=jnp.int32)[:, None, None] * per_block
-    return (jnp.asarray(blk)[None] + offs).reshape(mode.n_payload, mode.v)
+    nbb = tables.BIT_ILV_BLOCK * mode.v          # coded bits per block
+    return blk, n_blocks, nbb
 
 
 def make_bit_interleaver(mode: DvbtMode):
     """Returns interleave(bits) : uint8 (..., n_sym, n_payload*v)
     -> int32 cells (..., n_sym, n_payload) with y0 as cell MSB."""
-    w = (1 << np.arange(mode.v - 1, -1, -1)).astype(np.int32)
+    blk, n_blocks, nbb = _block_dims(mode)
+    v = mode.v
+    # M[k, c] = 2^(v-1-j) where the interleaver reads coded bit k into bit
+    # j of cell c: interleave + pack as one (nbb, 126) matmul per block
+    M = np.zeros((nbb, tables.BIT_ILV_BLOCK), np.float32)
+    for c in range(tables.BIT_ILV_BLOCK):
+        for j in range(v):
+            M[blk[c, j], c] = float(1 << (v - 1 - j))
+    M_bf = jnp.asarray(M, jnp.bfloat16)
 
     def interleave(b: jnp.ndarray) -> jnp.ndarray:
-        idx = _device_indices(mode)
-        cell_bits = b[..., idx].astype(jnp.int32)  # (..., n_payload, v)
-        return (cell_bits * w).sum(axis=-1)
+        x = b.reshape(*b.shape[:-1], n_blocks, nbb).astype(jnp.bfloat16)
+        cells = jnp.matmul(x, M_bf, preferred_element_type=jnp.float32)
+        return cells.astype(jnp.int32).reshape(
+            *b.shape[:-1], mode.n_payload)
 
     return jax.jit(interleave)
+
+
+def _deint_matrix(mode: DvbtMode, scale: int) -> np.ndarray:
+    """(nbb, nbb) one-hot: row c*v+j (bit j of in-block cell c) -> column
+    blk[c, j] (coded-stream position), times `scale`."""
+    blk, _, nbb = _block_dims(mode)
+    v = mode.v
+    D = np.zeros((nbb, nbb), np.float32)
+    for c in range(tables.BIT_ILV_BLOCK):
+        for j in range(v):
+            D[c * v + j, blk[c, j]] = float(scale)
+    return D
 
 
 def make_soft_bit_deinterleaver(mode: DvbtMode):
     """Soft-metric variant: (..., n_sym, n_payload, v) per-bit soft values
     (cell order, bit e = y_e) -> (..., n_sym, n_payload*v) coded-stream
-    order — same scatter indices as the hard path, values instead of bits."""
+    order — the same per-block permutation as the hard path, applied to
+    values."""
+    _, n_blocks, nbb = _block_dims(mode)
+    D_bf = jnp.asarray(_deint_matrix(mode, 1), jnp.bfloat16)
     n_bits = mode.n_payload * mode.v
 
     def deinterleave(soft: jnp.ndarray) -> jnp.ndarray:
-        flat_idx = _device_indices(mode).reshape(-1)
-        flat = soft.reshape(*soft.shape[:-2], n_bits)
-        out = jnp.zeros_like(flat)
-        return out.at[..., flat_idx].set(flat)
+        x = soft.reshape(*soft.shape[:-2], n_blocks, nbb).astype(jnp.bfloat16)
+        out = jnp.matmul(x, D_bf, preferred_element_type=jnp.float32)
+        return out.astype(jnp.uint8).reshape(*soft.shape[:-2], n_bits)
 
     return jax.jit(deinterleave)
 
 
-def make_bit_deinterleaver(mode: DvbtMode):
+def make_bit_deinterleaver(mode: DvbtMode, scale: int = 1):
     """Returns deinterleave(cells) : int32 (..., n_sym, n_payload)
-    -> uint8 bits (..., n_sym, n_payload*v)."""
+    -> uint8 bits*scale (..., n_sym, n_payload*v).  `scale` folds the
+    hard-decision -> saturated-soft-metric multiply ({0,1} -> {0,15}) into
+    the permutation matmul for free."""
     sh = np.arange(mode.v - 1, -1, -1, dtype=np.int32)
+    _, n_blocks, nbb = _block_dims(mode)
+    D_bf = jnp.asarray(_deint_matrix(mode, scale), jnp.bfloat16)
     n_bits = mode.n_payload * mode.v
 
     def deinterleave(cells: jnp.ndarray) -> jnp.ndarray:
-        flat_idx = _device_indices(mode).reshape(-1)
-        cell_bits = ((cells[..., :, None] >> sh) & 1).astype(jnp.uint8)
-        flat = cell_bits.reshape(*cells.shape[:-1], n_bits)
-        out = jnp.zeros_like(flat)
-        return out.at[..., flat_idx].set(flat)
+        cell_bits = ((cells[..., :, None] >> sh) & 1)
+        x = cell_bits.reshape(
+            *cells.shape[:-1], n_blocks, nbb).astype(jnp.bfloat16)
+        out = jnp.matmul(x, D_bf, preferred_element_type=jnp.float32)
+        return out.astype(jnp.uint8).reshape(*cells.shape[:-1], n_bits)
 
     return jax.jit(deinterleave)

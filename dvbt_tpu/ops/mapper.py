@@ -105,14 +105,65 @@ def make_soft_demapper(mode: DvbtMode):
 
 
 def make_demapper(mode: DvbtMode):
+    """Hard demap by per-axis scaled rounding — the reference's own scheme
+    (SURVEY.md R4 "scaled integer rounding per axis").
+
+    DVB-T axis levels are ±(α + 2k), k = 0..2^(v/2-1)-1 [EN300744 §4.3.5],
+    so the nearest level index is clip(round((|z| − α)/2)) after
+    de-normalizing z = y·scale, and the Gray bit pattern per (sign, index)
+    comes from a tiny host-derived table applied as a handful of selects.
+    This replaces a 2^v-way score argmax whose (..., 2^v) f32 plane was the
+    demap stage's HBM cost, and agrees with nearest-point on everything but
+    exact decision-boundary midpoints (measure zero under noise).
+    """
     c = mode.constellation_table().astype(np.complex64)
-    pts = np.stack([c.real, c.imag], axis=0).astype(np.float32)  # (2, 2^v)
-    half_norm = (np.abs(c) ** 2 / 2).astype(np.float32)
+    v = mode.v
+    h = v // 2
+    m = 1 << (h - 1)                       # levels per half-axis
+    alpha = mode.alpha_eff
+    scale = (alpha + 2 * (m - 1)) / np.max(c.real)   # de-normalization
+    # bit-index tables per axis (same split as make_mapper)
+    cells = np.arange(2 ** v)
+    i_idx = np.zeros(2 ** v, np.int64)
+    q_idx = np.zeros(2 ** v, np.int64)
+    for b in range(h):
+        i_idx |= ((cells >> (v - 1 - 2 * b)) & 1) << (h - 1 - b)
+        q_idx |= ((cells >> (v - 2 - 2 * b)) & 1) << (h - 1 - b)
+    i_levels = np.zeros(2 ** h, np.float32)
+    q_levels = np.zeros(2 ** h, np.float32)
+    i_levels[i_idx] = c.real
+    q_levels[q_idx] = c.imag
+    # (sign, |level| rank) -> cell-value contribution of that axis' bits
+    i_contrib = np.zeros(2 * m, np.int32)
+    q_contrib = np.zeros(2 * m, np.int32)
+    for s_, sign in ((0, 1.0), (1, -1.0)):
+        for ka in range(m):
+            lvl = sign * (alpha + 2 * ka) / scale
+            bi = int(np.argmin(np.abs(i_levels - lvl)))
+            bq = int(np.argmin(np.abs(q_levels - lvl)))
+            assert abs(i_levels[bi] - lvl) < 1e-5 * max(1.0, abs(lvl))
+            assert abs(q_levels[bq] - lvl) < 1e-5 * max(1.0, abs(lvl))
+            for b in range(h):
+                i_contrib[s_ * m + ka] |= (
+                    (bi >> (h - 1 - b)) & 1) << (v - 1 - 2 * b)
+                q_contrib[s_ * m + ka] |= (
+                    (bq >> (h - 1 - b)) & 1) << (v - 2 - 2 * b)
+
+    def _axis(z, contrib):
+        if m == 1:
+            k = (z < 0).astype(jnp.int32)
+        else:
+            ka = jnp.clip(jnp.round((jnp.abs(z) * scale - alpha) * 0.5),
+                          0, m - 1).astype(jnp.int32)
+            k = ka + m * (z < 0)
+        out = jnp.zeros(z.shape, jnp.int32)
+        for j in range(2 * m):
+            if contrib[j]:
+                out = jnp.where(k == j, jnp.int32(contrib[j]), out)
+        return out
 
     def qam_demap(y: jnp.ndarray) -> jnp.ndarray:
         """complex64 (...,) -> int32 hard-decision cell values (...,)."""
-        yr = jnp.stack([y.real, y.imag], axis=-1).astype(jnp.float32)
-        score = jnp.dot(yr, pts, preferred_element_type=jnp.float32)
-        return jnp.argmax(score - half_norm, axis=-1).astype(jnp.int32)
+        return _axis(y.real, i_contrib) | _axis(y.imag, q_contrib)
 
     return jax.jit(qam_demap)

@@ -4,12 +4,17 @@ Reference behavior: `lib/convolutional_interleaver_impl.cc`,
 `lib/convolutional_deinterleaver_impl.cc` [unverified — mount empty]; spec:
 EN300744 §4.3.1 Fig 5.
 
-TPU-native design: the reference's 12 FIFO shift registers become a single
-static gather.  Byte i of the stream passes through branch j = i mod 12 with
-delay j*17 branch-cells = j*204 stream bytes (204 = 12*17 = one RS packet, so
-packet starts always hit branch 0 — the sync-alignment the reference enforces
-by construction).  Carried state is the last 2244 bytes of input history
-(11 * 204 — SURVEY.md §5.4's "interleaver FIFO tail" pytree leaf).
+TPU-native design: byte i of the stream passes through branch j = i mod 12
+with delay j*17 branch-cells = j*204 stream bytes (204 = 12*17 = one RS
+packet, so packet starts always hit branch 0 — the sync-alignment the
+reference enforces by construction).  On the (packets, 204) board this
+means column p of every packet is a pure PACKET-ROW delay of d(p mod 12)
+rows: the whole op is 12 free major-axis row slices of the tail-extended
+board blended by a static column mask — no gathers, no minor-axis strided
+relayouts (a stride-12 column extraction measured 2.5 ms per fused step on
+hardware; this form is bandwidth-bound).  Carried state is the last 2244
+bytes of input history (11 * 204 — SURVEY.md §5.4's "interleaver FIFO
+tail" pytree leaf).
 """
 
 from __future__ import annotations
@@ -24,31 +29,29 @@ TAIL = (OUTER_I - 1) * RS_PACKET  # 2244 bytes of carried history
 
 
 def _make(n_bytes: int, deinterleave: bool):
-    assert n_bytes % OUTER_I == 0
-    n_rows = n_bytes // OUTER_I
+    assert n_bytes % RS_PACKET == 0
+    n_pk = n_bytes // RS_PACKET
+    # column p's branch r = p mod 12; row shift into the tail-extended board
+    # s = 11 - d(r), so output packet k column p reads board row k + s —
+    # flat position i + TAIL - 204*d(i mod 12), the Forney delay line
+    r = np.arange(RS_PACKET) % OUTER_I
+    d = (OUTER_I - 1 - r) if deinterleave else r
+    shift = (OUTER_I - 1) - d                      # (204,) in [0, 11]
 
     def apply(tail: jnp.ndarray, x: jnp.ndarray):
-        """tail uint8 (2244,), x uint8 (n_bytes,) -> (tail', y).
-
-        Gather-free: byte i reads buf[i - d(i%12)*204 + TAIL]; per residue
-        class r the source positions are an arithmetic stride-12 sequence, so
-        the whole op is 12 shifted reshape-column views stacked back together
-        (pure layout ops — a 200k-element gather costs ~1 ms on TPU, this
-        costs HBM-copy time).
-        """
-        buf = jnp.concatenate([tail, x], axis=-1)
-        # pad so every shifted view is full length (the pad bytes only land
-        # in the discarded columns 1..11 of the reshape)
-        bufp = jnp.concatenate(
-            [buf, jnp.zeros(x.shape[:-1] + (OUTER_I,), x.dtype)], axis=-1)
-        cols = []
-        for r in range(OUTER_I):
-            d = (OUTER_I - 1 - r) if deinterleave else r
-            s = TAIL + r - d * RS_PACKET
-            cols.append(bufp[..., s: s + n_bytes]
-                        .reshape(*x.shape[:-1], n_rows, OUTER_I)[..., 0])
-        y = jnp.stack(cols, axis=-1).reshape(*x.shape[:-1], n_bytes)
-        return buf[..., -TAIL:], y
+        """tail uint8 (2244,), x uint8 (n_bytes,) -> (tail', y)."""
+        batch = x.shape[:-1]
+        board = jnp.concatenate(
+            [tail.reshape(*batch, OUTER_I - 1, RS_PACKET),
+             x.reshape(*batch, n_pk, RS_PACKET)], axis=-2)
+        out = jnp.zeros(batch + (n_pk, RS_PACKET), x.dtype)
+        for s in range(OUTER_I):
+            mask = jnp.asarray(shift == s)         # static (204,) plane
+            sl = jax.lax.slice_in_dim(board, s, s + n_pk, axis=-2)
+            out = jnp.where(mask, sl, out)
+        y = out.reshape(*batch, n_bytes)
+        new_tail = board[..., -(OUTER_I - 1):, :].reshape(*batch, TAIL)
+        return new_tail, y
 
     return jax.jit(apply)
 

@@ -240,3 +240,20 @@ def test_map_demap_roundtrip(con, alpha):
                                       + 1j * rng.standard_normal(pts.shape))
     assert np.array_equal(np.asarray(qdemap(jnp.asarray(noisy))),
                           np.asarray(cells))
+
+
+@pytest.mark.parametrize("con,alpha", [("qpsk", 0), ("16qam", 0), ("64qam", 0),
+                                       ("16qam", 1), ("16qam", 2),
+                                       ("16qam", 4), ("64qam", 2)])
+def test_demap_matches_nearest_point(con, alpha):
+    """The rounding demapper must agree with the brute-force nearest-point
+    rule (the reference's hard-decision contract) on noisy samples away
+    from exact decision-boundary midpoints."""
+    mode = DvbtMode("2k", con, "1/2", alpha=alpha)
+    c = np.asarray(mode.constellation_table(), np.complex64)
+    rng = np.random.default_rng(11)
+    y = (rng.uniform(-1.5, 1.5, 4096)
+         + 1j * rng.uniform(-1.5, 1.5, 4096)).astype(np.complex64)
+    want = np.argmin(np.abs(y[:, None] - c[None, :]), axis=-1)
+    got = np.asarray(mapper.make_demapper(mode)(jnp.asarray(y)))
+    assert np.array_equal(got, want)

@@ -86,10 +86,11 @@ def _encode_punctured(bits, rate, n_bits):
     return np.asarray(coded, np.uint8) * 15
 
 
+@pytest.mark.parametrize("style", ["pack", "regx"])
 @pytest.mark.parametrize("rate,flips", [
     ("1/2", 0), ("2/3", 40), ("3/4", 24), ("5/6", 12), ("7/8", 8),
 ])
-def test_punctured_matches_jnp(rate, flips):
+def test_punctured_matches_jnp(rate, flips, style):
     period = len(tables.PUNCTURE[rate][0])
     n_bits = 8 * period * 480
     rng = np.random.default_rng(3)
@@ -97,7 +98,8 @@ def test_punctured_matches_jnp(rate, flips):
     body, ov = vp.punct_geometry(n_bits, rate, 512, 96)
     dec_j = vj.make_viterbi_decoder(n_bits, body=body, overlap=ov)
     dec_p = vp.make_viterbi_decoder_punctured(n_bits, rate, body=512,
-                                              overlap=96, interpret=True)
+                                              overlap=96, interpret=True,
+                                              style=style)
     depunct = inner_coder.make_depuncture(n_bits, rate)
     sj, sp = vj.init_state(ov), vj.init_state(ov)
     for blk in range(2):
