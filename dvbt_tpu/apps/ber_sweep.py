@@ -59,6 +59,7 @@ def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0,
     pre_rs_bits = int(ok.sum()) * 204 * 8
     per = float(bad.mean()) if len(bad) else 0.0
     return {
+        "device": "tpu" if jax.default_backend() != "cpu" else "cpu",
         "snr_db": snr_db,
         "ber_post_viterbi": (float(pre[ok].sum()) / pre_rs_bits
                              if pre_rs_bits else None),

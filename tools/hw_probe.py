@@ -124,6 +124,26 @@ def stage_step():
         log(f"step mux={mux} run {dt * 1e3:.1f} ms  {msps:.1f} Msps  bad={bad}")
 
 
+def stage_tracked():
+    """tracked_bench at several block sizes: per-block host<->device
+    overhead is ~constant, so deployable throughput scales with block."""
+    import os as _os
+
+    from bench import tracked_bench
+    from dvbt_tpu.mode import MODE_8K_UK
+
+    for frames in ("8", "24"):
+        _os.environ["DVBT_TRACKED_FRAMES"] = frames
+        _os.environ["DVBT_TRACKED_BLOCKS"] = "8"
+        t0 = time.time()
+        try:
+            r = tracked_bench(MODE_8K_UK)
+            log(f"tracked[frames={frames}]: {r}  ({time.time() - t0:.0f}s)")
+        except Exception:
+            log(f"tracked[frames={frames}]: FAILED")
+            traceback.print_exc()
+
+
 if __name__ == "__main__":
     if "rates" in STAGES:
         stage_rates()
@@ -131,4 +151,6 @@ if __name__ == "__main__":
         stage_vit()
     if "step" in STAGES:
         stage_step()
+    if "tracked" in STAGES:
+        stage_tracked()
     log("probe done")
