@@ -83,6 +83,7 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
     deployable configuration carries multi-superframe blocks
     (DVBT_TRACKED_FRAMES, default 8 frames ≈ 0.5 s of air time each).
     """
+    import jax
     import numpy as np
 
     from dvbt_tpu.io import ts as tsio
@@ -119,6 +120,11 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
     reports += srx.feed(blocks[warm])  # one locked block: track program
     reports += srx.flush()
     warm += 1
+    # state snapshot entering blocks[warm:] — the device-resident variant
+    # below replays the same stream segment with identical carried state
+    snap = (jax.tree.map(lambda x: x, srx.rx_state), srx.phase,
+            srx.cfo_frac, srx.cfo_int)
+    snap_pos = srx.stream_position
     t0 = time.time()
     n_bad = 0
     fed = 0
@@ -129,12 +135,51 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
     for r in srx.flush():    # in-flight blocks are part of the measurement
         n_bad += int(r.rs_uncorrectable.sum())
     elapsed = time.time() - t0
-    return {
+    out = {
         "tracked_msps": round(fed / elapsed / 1e6, 3),
         "tracked_blocks": n_blocks - warm,
         "tracked_rs_uncorrectable": n_bad,
         "tracked_locked": srx.locked,
     }
+
+    # The end-to-end number above is H2D-transfer-bound on this backend
+    # (the axon tunnel moves ~30-60 MB/s; a real deployment feeds samples
+    # over PCIe/DMA at GB/s).  Report the measured transfer rate plus a
+    # device-resident variant: the SAME fused track+decode program over the
+    # SAME stream segment with identical carried state, samples pre-staged
+    # in HBM — the receiver pipeline's own throughput.
+    # replay the exact segment the snapshot state expects: lock happened at
+    # an arbitrary in-stream offset, so device blocks are cut at the
+    # receiver's own stream position, not at blocks[] boundaries
+    stream = np.concatenate(blocks[: n_blocks])
+    pos = snap_pos
+    n_dev = (len(stream) - pos) // srx.block_samples
+    pairs = [np.ascontiguousarray(
+        stream[pos + k * srx.block_samples:
+               pos + (k + 1) * srx.block_samples]).view(
+                   np.float32).reshape(-1, 2) for k in range(n_dev)]
+    t0 = time.time()
+    dev = [jnp.asarray(p) for p in pairs]
+    _ = float(dev[-1][0, 0])
+    h2d_s = time.time() - t0
+    out["tracked_h2d_mbps"] = round(
+        sum(p.nbytes for p in pairs) / h2d_s / 1e6, 1)
+
+    st, ph, cf, ci = snap
+    zero = jnp.int32(0)
+    t0 = time.time()
+    ts = None
+    ms = []
+    for d in dev:                       # async enqueue, one fetch at the end
+        st, ph, ts, m = srx.track_rx(st, d, cf, ci, ph, zero)
+        ms.append(m)
+    _ = int(np.asarray(ts).ravel()[-1])
+    elapsed_d = time.time() - t0
+    n_bad_d = sum(int(np.asarray(m["rs_uncorrectable"]).sum()) for m in ms)
+    out["tracked_device_msps"] = round(
+        n_dev * srx.block_samples / elapsed_d / 1e6, 3)
+    out["tracked_device_rs_uncorrectable"] = n_bad_d
+    return out
 
 
 def main():

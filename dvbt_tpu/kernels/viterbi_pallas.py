@@ -278,18 +278,7 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
              + jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1))
     vc = ov + n_bits - w_ids * body          # (1, 128)
 
-    pox_lo = pox0[:32]                       # (32, 128) lower-half planes
-    poy_lo = poy0[:32]
-
-    def branch_metrics_half(rows, wi, k):
-        """d=0 branch metric for states 0..31 plus the step's constant.
-
-        G1 and G2 both tap bit 6, so states s and s+32 see OPPOSITE branch
-        outputs on every kept tap: bm0[s+32] = const - bm0[s], and since
-        cost0 + cost1 = const per tap, also bm1_lo = bm0_hi and bm1_hi =
-        bm0_lo.  One (32,128) metric plane therefore drives the entire
-        64-state ACS step.
-        """
+    def branch_metrics(rows, wi, k):
         q = k % period
         base = (k // period) * keep
         rx_, ry_ = rank[2 * q], rank[2 * q + 1]
@@ -299,23 +288,19 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
         const1 = 0
         if rx_ >= 0:
             sx = rows[base + rx_: base + rx_ + 1]          # (1, 128)
-            terms0.append(jnp.where(pox_lo, 15 - sx, sx))
+            terms0.append(jnp.where(pox0, 15 - sx, sx))
             const1 += 15
         if ry_ >= 0:
             sy = rows[base + ry_: base + ry_ + 1]
-            terms0.append(jnp.where(poy_lo, 15 - sy, sy))
+            terms0.append(jnp.where(poy0, 15 - sy, sy))
             const1 += 15
-        bm_lo = terms0[0] if terms0 else jnp.zeros(
-            (32, LANES), jnp.int32)
+        bm0 = terms0[0] if terms0 else jnp.zeros(
+            (N_STATES, LANES), jnp.int32)
         for t in terms0[1:]:
-            bm_lo = bm_lo + t
-        bm_lo = bm_lo * valid
-        return bm_lo, const1 * valid
-
-    def branch_metrics(rows, wi, k):
-        bm_lo, cv = branch_metrics_half(rows, wi, k)
-        bm0 = jnp.concatenate([bm_lo, cv - bm_lo], axis=0)
-        return bm0, cv - bm0
+            bm0 = bm0 + t
+        bm0 = bm0 * valid
+        bm1 = const1 * valid - bm0
+        return bm0, bm1
 
     def butterfly(x):
         """(64,128) -> even/odd predecessor planes via sublane reshape
@@ -359,32 +344,30 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
         dec_ref, = scratch
         sh32 = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 0)
 
+        def pack2(dec):
+            """_pack_states with the two words split STATICALLY on the
+            sublane axis (free half-slab views) instead of masked by two
+            full-height wheres — halves the shift/reduce extents."""
+            d = dec.astype(jnp.int32)
+            w0 = jnp.sum(d[:32] << sh32, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            w1 = jnp.sum(d[32:] << sh32, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
         def fwd_iter(wi, pm):
             rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
             words = []
             for k in range(W):
-                # whole ACS step on (32,128) half-planes: the half-plane
-                # branch-metric symmetry means no 64-row concat is ever
-                # built for the costs, and the decision words pack each
-                # half directly (bit s of word s//32 = decision of state s)
-                bm_lo, cv = branch_metrics_half(rows, wi, k)
-                pm3 = pm.reshape(32, 2, LANES)
-                even, odd = pm3[:, 0], pm3[:, 1]           # (32, 128)
-                t = cv - bm_lo
-                c0_lo, c0_hi = even + bm_lo, even + t
-                c1_lo, c1_hi = odd + t, odd + bm_lo
-                dec_lo = c1_lo < c0_lo
-                dec_hi = c1_hi < c0_hi
-                pm = jnp.concatenate([jnp.minimum(c0_lo, c1_lo),
-                                      jnp.minimum(c0_hi, c1_hi)], axis=0)
-                # disjoint bit positions: the sublane sum IS the bitwise OR
-                # (int32 two's-complement keeps bit 31's pattern; the final
-                # astype is a pure bitcast)
-                w0 = jnp.sum(dec_lo.astype(jnp.int32) << sh32, axis=0,
-                             keepdims=True, dtype=jnp.int32)
-                w1 = jnp.sum(dec_hi.astype(jnp.int32) << sh32, axis=0,
-                             keepdims=True, dtype=jnp.int32)
-                words += [w0.astype(jnp.uint32), w1.astype(jnp.uint32)]
+                bm0, bm1 = branch_metrics(rows, wi, k)
+                ce, co = butterfly(pm)
+                c0, c1 = ce + bm0, co + bm1
+                dec = c1 < c0
+                pm = jnp.minimum(c0, c1)
+                if style == "pack2":
+                    words.extend(pack2(dec))
+                else:
+                    words.extend(_pack_states(dec, s_u))
             for j in range(n_words):
                 slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
                 dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
@@ -503,7 +486,7 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
     if style is None:
         import os
         style = os.environ.get("DVBT_VIT_STYLE", "pack")
-    assert style in ("pack", "regx"), style
+    assert style in ("pack", "pack2", "regx"), style
     n_slabs = 2 if style == "regx" else 1
     period, keep, rank = _pattern(rate)
     body, ov = punct_geometry(n_bits, rate,

@@ -124,6 +124,13 @@ class StreamingReceiver:
         self._tau_ref: float | None = None
         self._max_adj = max(1, mode.guard_len // 4)
 
+    @property
+    def stream_position(self) -> int:
+        """Absolute sample index of the next sample the receiver will
+        consume (block boundaries of the locked stream fall at
+        stream_position + k * block_samples)."""
+        return self._stream_pos
+
     def _need(self) -> int:
         return self.block_samples if self.locked else self.capture_samples
 

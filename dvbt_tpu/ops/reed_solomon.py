@@ -204,8 +204,9 @@ def _berlekamp_massey_bits(S_bits: jnp.ndarray):
 
     def step(carry, n):
         C, Bm, binv, L = carry
-        win = jax.lax.dynamic_slice_in_dim(
-            Spad, n, RS_T + 1, axis=-2)               # S_{n-8} .. S_n
+        # n is a python int (unrolled loop): the syndrome window is a
+        # static slice and XLA fuses the whole straight-line iteration
+        win = Spad[..., n: n + RS_T + 1, :]           # S_{n-8} .. S_n
         terms = _bitmul(jnp.flip(C, axis=Crev_axis), win)
         d = _mod2(terms.sum(axis=-2))                 # XOR = sum mod 2
         coef = _bitmul(d, binv)
@@ -216,10 +217,12 @@ def _berlekamp_massey_bits(S_bits: jnp.ndarray):
         Bm_out = _shift1(jnp.where(grow[..., None, None], C, Bm))
         binv_out = jnp.where(grow[..., None], _bitinv(d), binv)
         L_out = jnp.where(grow, n + 1 - L, L)
-        return (C_out, Bm_out, binv_out, L_out), None
+        return C_out, Bm_out, binv_out, L_out
 
-    (C, Bm, binv, L), _ = jax.lax.scan(
-        step, (C, Bm, binv, L), jnp.arange(2 * RS_T))
+    carry = (C, Bm, binv, L)
+    for n in range(2 * RS_T):
+        carry = step(carry, n)
+    C, Bm, binv, L = carry
     return C, L
 
 

@@ -223,17 +223,6 @@ def make_payload_extractor(mode: DvbtMode):
     return jax.jit(extract)
 
 
-def data_cell_mask(mode: DvbtMode) -> np.ndarray:
-    """(4, K) bool: True where carrier k of symbol-phase l is a payload
-    cell (tile with _tile68 for a 68-row frame).  Lets metrics like MER sum
-    over payload cells on the raw carrier board instead of paying a second
-    full-size deinterleave permutation (permutation-invariant sums)."""
-    t = _frame_tables(mode)
-    m = np.zeros((4, mode.n_carriers), bool)
-    m[np.arange(4)[:, None], t["data_idx"]] = True
-    return m
-
-
 def make_tps_decoder(mode: DvbtMode):
     """RX: DBPSK-demodulate the TPS bits of one frame-aligned symbol block.
 

@@ -60,7 +60,7 @@ def stage_vit(reps: int = 30):
     n_c = n_bits // period * keep
     rng = np.random.default_rng(0)
     coded = jnp.asarray(rng.integers(0, 16, (mux, n_c), dtype=np.uint8))
-    for style in ("pack", "regx"):
+    for style in ("pack", "pack2"):
         dec = viterbi_pallas.make_viterbi_decoder_punctured(
             n_bits, rate, overlap=ov, style=style)
         vdec = jax.jit(jax.vmap(dec))
@@ -93,7 +93,7 @@ def stage_step():
 
     mode = MODE_8K_UK
     n_frames = 4
-    for mux in (8, 16):
+    for mux in (8,):
         tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames)
         rx, _, _ = rxm.make_receiver(mode, n_frames)
         vtx = jax.jit(jax.vmap(tx), donate_argnums=(0,))
