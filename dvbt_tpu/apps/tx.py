@@ -57,13 +57,14 @@ def main(argv=None) -> int:
 
     state = txm.init_tx_state(mode)
     t0 = time.time()
-    with open(a.outfile, "wb") as f:
+    from ..io import source as src
+    with src.open_sink(a.outfile) as sink:   # file or (seam) SDR hardware
         for b in range(n_blocks):
             hp = jnp.asarray(packets[b * n_hp:(b + 1) * n_hp])
             arg = (hp, jnp.asarray(packets_lp[b * n_lp:(b + 1) * n_lp])) \
                 if mode.hierarchical else hp
             state, iq = tx(state, arg)
-            tsio.device_get_complex(iq).tofile(f)
+            sink.write(tsio.device_get_complex(iq))
     dt = time.time() - t0
     total = n_blocks * n_samp
     print(f"tx: {n_blocks} blocks, {n_blocks * n_hp} packets, "

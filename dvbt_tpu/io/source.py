@@ -83,3 +83,68 @@ def open_source(spec: str) -> SampleSource:
                 "dvbt_tpu.io.source.SampleSource (read(n) -> complex64) "
                 "over the vendor stream API and register it here.")
     return FileSource(spec)
+
+
+# --- TX side: sample sinks --------------------------------------------------
+
+
+@runtime_checkable
+class SampleSink(Protocol):
+    """Streaming complex-baseband sink — the TX-side hardware seam
+    (the reference's file→USRP flowgraphs; SURVEY.md §0).
+
+    write(samples) consumes a complex64 ndarray; implementations may block
+    on hardware back-pressure (a USRP wrapper would hand chunks to the
+    vendor streamer at the 64/7 Msps pace)."""
+
+    def write(self, samples: np.ndarray) -> None: ...
+
+    def close(self) -> None: ...
+
+
+class FileSink:
+    """Raw interleaved-complex64 IQ file (GNU Radio file_sink format)."""
+
+    def __init__(self, path: str):
+        self._f = open(path, "wb")
+
+    def write(self, samples: np.ndarray) -> None:
+        np.asarray(samples, np.complex64).tofile(self._f)
+
+    def close(self) -> None:
+        self._f.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+class ArraySink:
+    """In-memory sink (tests, loopback drives)."""
+
+    def __init__(self):
+        self._chunks: list[np.ndarray] = []
+
+    def write(self, samples: np.ndarray) -> None:
+        self._chunks.append(np.asarray(samples, np.complex64))
+
+    def samples(self) -> np.ndarray:
+        return (np.concatenate(self._chunks) if self._chunks
+                else np.zeros((0,), np.complex64))
+
+    def close(self) -> None:
+        pass
+
+
+def open_sink(spec: str) -> SampleSink:
+    """CLI spec -> SampleSink.  Plain path = IQ file; SDR URL schemes are
+    the documented hardware seam."""
+    for scheme in _HW_SCHEMES:
+        if spec.startswith(scheme):
+            raise NotImplementedError(
+                f"{scheme} sinks need an SDR driver: implement "
+                "dvbt_tpu.io.source.SampleSink (write(complex64)) over the "
+                "vendor stream API and register it here.")
+    return FileSink(spec)
