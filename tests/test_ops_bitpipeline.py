@@ -257,3 +257,30 @@ def test_demap_matches_nearest_point(con, alpha):
     want = np.argmin(np.abs(y[:, None] - c[None, :]), axis=-1)
     got = np.asarray(mapper.make_demapper(mode)(jnp.asarray(y)))
     assert np.array_equal(got, want)
+
+
+@pytest.mark.parametrize("t,con,alpha", [("2k", "64qam", 0), ("2k", "16qam", 2),
+                                         ("8k", "64qam", 0)])
+def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha):
+    """The block-diagonal matmul forms must equal the direct gather/scatter
+    permutation (bit_interleaver._symbol_indices is the oracle)."""
+    mode = DvbtMode(t, con, "2/3", alpha=alpha)
+    idx = bit_interleaver._symbol_indices(mode)          # (n_payload, v)
+    rng = np.random.default_rng(13)
+    bits = rng.integers(0, 2, (3, mode.n_payload * mode.v), np.uint8)
+    w = (1 << np.arange(mode.v - 1, -1, -1)).astype(np.int64)
+    want_cells = (bits[:, idx].astype(np.int64) * w).sum(axis=-1)
+    got_cells = np.asarray(
+        bit_interleaver.make_bit_interleaver(mode)(jnp.asarray(bits)))
+    assert np.array_equal(got_cells, want_cells)
+
+    dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    got_bits = np.asarray(dilv(jnp.asarray(want_cells.astype(np.int32))))
+    assert np.array_equal(got_bits, bits)
+
+    soft = rng.integers(0, 16, (3, mode.n_payload, mode.v), np.uint8)
+    want_soft = np.zeros((3, mode.n_payload * mode.v), np.uint8)
+    want_soft[:, idx.reshape(-1)] = soft.reshape(3, -1)
+    got_soft = np.asarray(
+        bit_interleaver.make_soft_bit_deinterleaver(mode)(jnp.asarray(soft)))
+    assert np.array_equal(got_soft, want_soft)
