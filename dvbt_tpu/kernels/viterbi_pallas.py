@@ -252,7 +252,9 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
       traceback state).
     * "pack" — per-step decisions packed 64-states-per-word-pair via two
       sublane-sum reductions per trellis step (scratch: one slab array);
-      bit-serial traceback.
+      bit-serial traceback.  "pack2" is the same forward with the two
+      words split statically on the sublane axis (measured neutral:
+      1.71 vs 1.70 Gbit/s on-chip).
 
     Branch metrics (both styles): cost0(s) = m*(soft + par0(s)*(15-2*soft))
     is a 2-way select between the (1,128) rows `soft` and `15-soft` by the
