@@ -51,7 +51,8 @@ BLOCKS = (
           "dvbt_tpu.ops.outer_interleaver.make_outer_interleaver",
           "T3 convolutional_interleaver",
           "uint8 (n,) byte stream + 2244-byte tail",
-          "uint8 (n,) interleaved + tail'", ("n_bytes",)),
+          "uint8 (n,) interleaved + tail'", ("n_bytes",),
+          "n_bytes must be a multiple of 204 (whole RS packets)"),
     Block("inner_coder", "dvbt_tpu.ops.inner_coder.make_inner_coder",
           "T4 inner_coder", "uint8 (n,) info bits + 6-bit state",
           "uint8 (n/rate,) punctured coded bits + state'",
@@ -114,7 +115,8 @@ BLOCKS = (
           "dvbt_tpu.ops.outer_interleaver.make_outer_deinterleaver",
           "R8 convolutional_deinterleaver",
           "uint8 (n,) byte stream + tail", "uint8 (n,) MUX-aligned + tail'",
-          ("n_bytes",)),
+          ("n_bytes",),
+          "n_bytes must be a multiple of 204 (whole RS packets)"),
     Block("reed_solomon_dec", "dvbt_tpu.ops.reed_solomon.make_rs_decoder",
           "R9 reed_solomon_dec", "uint8 (..., P, 204)",
           "(uint8 (..., P, 188), n_corrected, uncorrectable)"),

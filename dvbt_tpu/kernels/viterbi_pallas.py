@@ -444,6 +444,14 @@ def punct_geometry(n_bits: int, rate: str, body: int | None = None,
     return b, ov
 
 
+# Survivor-memory style default, resolved ONCE at import so the effective
+# configuration is stable and observable within a process (two processes
+# with different env used to silently compile different programs for the
+# same call site — ADVICE r3).
+import os as _os  # noqa: E402
+
+_ENV_STYLE = _os.environ.get("DVBT_VIT_STYLE", "pack")
+
 VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MiB scoped-vmem limit
 
 
@@ -486,8 +494,7 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
             decision reductions they replace).  Env: DVBT_VIT_STYLE.
     """
     if style is None:
-        import os
-        style = os.environ.get("DVBT_VIT_STYLE", "pack")
+        style = _ENV_STYLE
     assert style in ("pack", "pack2", "regx"), style
     n_slabs = 2 if style == "regx" else 1
     period, keep, rank = _pattern(rate)

@@ -114,7 +114,12 @@ def make_demapper(mode: DvbtMode):
     comes from a tiny host-derived table applied as a handful of selects.
     This replaces a 2^v-way score argmax whose (..., 2^v) f32 plane was the
     demap stage's HBM cost, and agrees with nearest-point on everything but
-    exact decision-boundary midpoints (measure zero under noise).
+    exact decision-boundary midpoints (measure zero under noise).  Midpoint
+    ties resolve DETERMINISTICALLY by jnp.round's half-to-even rule (toward
+    the even level index, i.e. alternating inward/outward along the axis),
+    so replays of the same capture are always bit-identical — but archived
+    outputs of the old argmax demapper may differ at exactly those inputs
+    (ADVICE r3; tests/test_fused_ops.py pins the tie-break).
     """
     c = mode.constellation_table().astype(np.complex64)
     v = mode.v

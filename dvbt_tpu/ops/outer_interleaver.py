@@ -57,11 +57,17 @@ def _make(n_bytes: int, deinterleave: bool):
 
 
 def make_outer_interleaver(n_bytes: int):
+    """``n_bytes`` must be a multiple of 204 (whole RS packets): the packet-
+    row formulation requires full (…, n_pk, 204) boards, and DVB-T's MUX
+    framing guarantees packet alignment anyway (the reference enforces the
+    same alignment via its sync-byte contract).  Feed partial packets by
+    padding to the next 204-byte boundary and carrying the remainder."""
     return _make(n_bytes, deinterleave=False)
 
 
 def make_outer_deinterleaver(n_bytes: int):
-    """Inverse; interleaver∘deinterleaver is a pure 2244-byte (11-packet) delay."""
+    """Inverse; interleaver∘deinterleaver is a pure 2244-byte (11-packet)
+    delay.  Same packet-aligned contract: ``n_bytes % 204 == 0``."""
     return _make(n_bytes, deinterleave=True)
 
 

@@ -259,6 +259,26 @@ def test_demap_matches_nearest_point(con, alpha):
     assert np.array_equal(got, want)
 
 
+def test_demap_midpoint_tiebreak_deterministic():
+    """Exact decision-boundary midpoints resolve by jnp.round's half-to-even
+    rule — toward the EVEN half-axis level index (ADVICE r3: pins the
+    documented tie-break so replays are bit-identical across runs)."""
+    mode = DvbtMode("2k", "64qam", "1/2")
+    c = np.asarray(mode.constellation_table(), np.complex64)
+    scale = 7.0 / np.max(c.real)          # levels ±1,3,5,7 de-normalized
+    # midpoints between level ranks (0,1), (1,2), (2,3): |z|*scale = 2, 4, 6
+    mids = np.array([2.0, 4.0, 6.0], np.float32) / scale
+    y = (mids + 1j * mids[::-1]).astype(np.complex64)
+    got1 = np.asarray(mapper.make_demapper(mode)(jnp.asarray(y)))
+    got2 = np.asarray(mapper.make_demapper(mode)(jnp.asarray(y)))
+    assert np.array_equal(got1, got2)
+    # half-to-even on (|z|*scale - alpha)/2 = 0.5, 1.5, 2.5 -> ranks 0, 2, 2
+    pts = np.asarray(mapper.make_mapper(mode)(jnp.asarray(got1)))
+    lv = np.array([1.0, 5.0, 5.0], np.float32) / scale
+    assert np.allclose(pts.real, lv, atol=1e-5)
+    assert np.allclose(pts.imag, lv[::-1], atol=1e-5)
+
+
 @pytest.mark.parametrize("t,con,alpha", [("2k", "64qam", 0), ("2k", "16qam", 2),
                                          ("8k", "64qam", 0)])
 def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha):
