@@ -209,7 +209,11 @@ def main():
     n_mux = int(os.environ.get("DVBT_BENCH_MUX", "8"))
 
     tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames)
-    rx, _, _ = rxm.make_receiver(mode, n_frames)
+    # DVBT_BENCH_METRICS=min drops the TPS/MER observability stages from
+    # the compiled step (the RS counters + timing_tau the control loop
+    # needs stay); the choice is recorded in the result line
+    bench_metrics = os.environ.get("DVBT_BENCH_METRICS", "full")
+    rx, _, _ = rxm.make_receiver(mode, n_frames, metrics=bench_metrics)
     n_samp = n_samp_1 * n_mux
 
     # tx and rx are each one jitted program; composing them under one more
@@ -327,6 +331,7 @@ def main():
         "iters": iters,
         "block_samples": n_samp, "n_mux": n_mux, "n_frames": n_frames,
         "compile_s": round(compile_s, 1),
+        "metrics_mode": bench_metrics,
         "rs_uncorrectable_last_block": n_bad,
         **parity,
         **tracked,

@@ -24,7 +24,12 @@ DELAY_PACKETS = 11
 
 
 def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0,
-              demap: str = "hard"):
+              demap: str = "hard", profile: str | None = None):
+    """One BER point over TX -> [Annex B profile] -> AWGN -> RX.
+
+    profile: None (AWGN only), "F1" (fixed/Ricean) or "P1"
+    (portable/Rayleigh) — channel.annex_b_taps.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -33,10 +38,13 @@ def run_point(mode, snr_db: float, n_blocks: int, seed: int = 0,
     packets = tsio.make_ts_packets(n_pk * n_blocks, seed=seed)
     tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
     key = jax.random.PRNGKey(seed + 1)
+    taps = channel.annex_b_taps(profile) if profile else None
     outs, bads, pre_errs = [], [], []
     for b in range(n_blocks):
         tst, iq = tx(tst, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
         key, sub = jax.random.split(key)
+        if taps is not None:
+            iq = channel.multipath(iq, taps)
         rst, out, m = rx(rst, channel.awgn(sub, iq, snr_db))
         outs.append(np.asarray(out))
         bads.append(np.asarray(m["rs_uncorrectable"]))
@@ -80,11 +88,16 @@ def main(argv=None) -> int:
     p.add_argument("--demap", choices=["hard", "soft"], default="hard",
                    help="hard = reference parity; soft = 4-bit max-log "
                         "metrics into the soft Viterbi (~2 dB gain)")
+    p.add_argument("--profile", choices=["none", "F1", "P1"], default="none",
+                   help="EN300744 Annex B propagation profile before AWGN")
     a = p.parse_args(argv)
     mode = common.mode_from_args(a)
+    profile = None if a.profile == "none" else a.profile
     for snr in [float(s) for s in a.snrs.split(",")]:
-        print(json.dumps({**run_point(mode, snr, a.blocks, a.seed, a.demap),
-                          "demap": a.demap}), flush=True)
+        print(json.dumps({**run_point(mode, snr, a.blocks, a.seed, a.demap,
+                                      profile),
+                          "demap": a.demap, "profile": a.profile}),
+              flush=True)
     return 0
 
 

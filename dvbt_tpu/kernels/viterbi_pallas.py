@@ -342,6 +342,69 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
 
         pm_fin, _, _ = jax.lax.fori_loop(
             0, n_iter, fwd_iter, (pm0, jnp.zeros_like(pm0), s))
+    elif style == "i16":
+        # int16 ACS: path/branch metrics ride int16 planes (half the vector
+        # registers per (64,128) op vs int32) at DOUBLE scale (costs 0..30
+        # per tap).  Erasures are resolved on the (1,128) input rows — an
+        # invalid step's soft value snaps to the midpoint 15, making
+        # bm0 == bm1 == 15 per tap: a uniform per-step offset that cannot
+        # change any decision (replaces two (64,128) mask multiplies with
+        # one (1,128) select).  Safety: one renorm per fwd iteration keeps
+        # min(pm)=0 at iteration start; the K=7 trellis is fully connected
+        # in 6 steps so spread(pm) <= 6*60 = 360 at all times, and within an
+        # iteration pm <= 360 + W*60 <= 13800 < int16 max.  Decision packing
+        # stays int32 (pack2).
+        dec_ref, = scratch
+        sh32 = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 0)
+
+        def pack2(dec):
+            d = dec.astype(jnp.int32)
+            w0 = jnp.sum(d[:32] << sh32, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            w1 = jnp.sum(d[32:] << sh32, axis=0, keepdims=True,
+                         dtype=jnp.int32)
+            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
+        def branch_metrics16(rows, wi, k):
+            q = k % period
+            base = (k // period) * keep
+            pairs = [(rank[2 * q], pox0), (rank[2 * q + 1], poy0)]
+            valid = vc > wi * W + k                     # (1, 128) bool
+            terms0 = []
+            const1 = 0
+            for r_, par in pairs:
+                if r_ < 0:
+                    continue
+                sx = rows[base + r_: base + r_ + 1]     # (1, 128) int16
+                sx2 = jnp.where(valid, sx + sx, jnp.int16(15))
+                terms0.append(jnp.where(par, jnp.int16(30) - sx2, sx2))
+                const1 += 30
+            bm0 = terms0[0] if terms0 else jnp.zeros(
+                (N_STATES, LANES), jnp.int16)
+            for t in terms0[1:]:
+                bm0 = bm0 + t
+            bm1 = jnp.int16(const1) - bm0
+            return bm0, bm1
+
+        def fwd_iter(wi, pm):
+            rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int16)
+            pm = pm - jnp.min(pm, axis=0, keepdims=True)   # renorm
+            words = []
+            for k in range(W):
+                bm0, bm1 = branch_metrics16(rows, wi, k)
+                ce, co = butterfly(pm)
+                c0, c1 = ce + bm0, co + bm1
+                dec = c1 < c0
+                pm = jnp.minimum(c0, c1)
+                words.extend(pack2(dec))
+            for j in range(n_words):
+                slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
+                dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
+            return pm
+
+        pm16 = jax.lax.fori_loop(0, n_iter, fwd_iter,
+                                 pm0.astype(jnp.int16))
+        pm_fin = pm16.astype(jnp.int32)
     else:
         dec_ref, = scratch
         sh32 = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 0)
@@ -487,15 +550,16 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
             decoders (impl-independent checkpoints); overlap must equal
             ops.viterbi.effective_overlap(rate, ...).
     bytes : uint8 (n_bits//8,) decoded info bytes (MSB-first).
-    style : survivor-memory strategy, "pack" (default) or "regx" — see
-            _vit_punct_kernel; both bit-exact, A/B-measured on hardware at
-            the 8K bench shape: pack 1.70 Gbit/s vs regx 0.87 (the three
-            butterfly concat/select chains cost more than the two packed-
-            decision reductions they replace).  Env: DVBT_VIT_STYLE.
+    style : forward/survivor strategy — "pack" (default), "pack2", "i16"
+            (int16 ACS planes + row-level erasure midpoints + per-iteration
+            renorm; same pack2 decision words), or "regx" — see
+            _vit_punct_kernel.  All bit-exact; hardware A/B at the 8K bench
+            shape: pack 1.70 Gbit/s, pack2 1.71, regx 0.87 (r3).  Env:
+            DVBT_VIT_STYLE (resolved once at import).
     """
     if style is None:
         style = _ENV_STYLE
-    assert style in ("pack", "pack2", "regx"), style
+    assert style in ("pack", "pack2", "regx", "i16"), style
     n_slabs = 2 if style == "regx" else 1
     period, keep, rank = _pattern(rate)
     body, ov = punct_geometry(n_bits, rate,

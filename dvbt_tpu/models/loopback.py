@@ -82,6 +82,9 @@ class StreamingReceiver:
         # chain — 1 dispatch per block instead of 3
         N, n_out = mode.fft_len, self.block_samples
 
+        from ..ops import reference_signals as refsig
+        retime_tail = refsig.make_chan_tail_retimer(mode)
+
         def _track_rx(rx_state, pairs, cfo_frac, cfo_int, phase, adj):
             iq = jax.lax.complex(pairs[:, 0], pairs[:, 1])
             cfo = cfo_frac + cfo_int.astype(jnp.float32)
@@ -91,6 +94,10 @@ class StreamingReceiver:
                        ).astype(jnp.complex64)
             phase1 = jnp.mod(phase - 2.0 * np.pi * cfo * n_out / N,
                              2.0 * np.pi).astype(jnp.float32)
+            # an SCO skip is a known delay change: re-phase the carried
+            # pilot history so the time channel estimator stays coherent
+            rx_state = dict(rx_state)
+            rx_state["chan_tail"] = retime_tail(rx_state["chan_tail"], adj)
             rx_state, ts, metrics = rx(rx_state, aligned)
             return rx_state, phase1, ts, metrics
 
@@ -204,12 +211,20 @@ class StreamingReceiver:
         self.cfo_int = info["cfo_int"]
         start = int(info["start"])
         self.last_info = {k: np.asarray(v) for k, v in info.items()}
-        # resume the NCO where the sync block's derotation ended
-        cfo = float(self.cfo_frac) + float(self.cfo_int)
+        # resume the NCO where the sync block's derotation ended.  sync
+        # accumulates the FRACTIONAL rotation from the capture origin
+        # (n = 0 at capture start) but the INTEGER rotation from the block
+        # origin (m = 0 at `start`, ops/sync.py) — resuming both from the
+        # capture origin used to leave a constant phase jump of
+        # -2*pi*cfo_int*start/N at the acquire->track seam.  Invisible to
+        # per-symbol channel estimation, but it rotated the time
+        # estimator's carried pilot history out of frame (first tracked
+        # block decoded dirty whenever cfo_int != 0 and start % N != 0).
         end = start + self.block_samples
         self.phase = jnp.float32(
-            (-2.0 * np.pi * cfo * end / self.mode.fft_len)
-            % (2.0 * np.pi))
+            (-2.0 * np.pi * (float(self.cfo_frac) * end
+                             + float(self.cfo_int) * self.block_samples)
+             / self.mode.fft_len) % (2.0 * np.pi))
         block_off = self._stream_pos + start
         self._consume(end)
         self.rx_state = rxm.init_rx_state(self.mode)

@@ -49,11 +49,15 @@ def _init_stream_state(rate: str, overlap: int) -> dict:
 def init_rx_state(mode: DvbtMode,
                   overlap: int = viterbi.DEFAULT_OVERLAP) -> dict:
     """Carried RX state pytree (SURVEY.md §5.4): deinterleaver tail, Viterbi
-    boundary window, descrambler phase lock (per stream).  The Viterbi tail
-    length is `effective_overlap(rate, overlap)` — byte- and puncture-phase
-    aligned so the SAME pytree drives the jnp and the fused Pallas decoders
-    (checkpoints are implementation-independent)."""
+    boundary window, descrambler phase lock (per stream), channel-estimator
+    pilot history (3 symbols, reference-density time interpolation).  The
+    Viterbi tail length is `effective_overlap(rate, overlap)` — byte- and
+    puncture-phase aligned so the SAME pytree drives the jnp and the fused
+    Pallas decoders (checkpoints are implementation-independent)."""
     state = _init_stream_state(mode.code_rate, overlap)
+    tail, valid = reference_signals.init_time_channel_state(mode)
+    state["chan_tail"] = tail
+    state["chan_valid"] = valid
     if mode.hierarchical:
         state["lp"] = _init_stream_state(mode.code_rate_lp, overlap)
     return state
@@ -152,6 +156,9 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                   viterbi_overlap: int = viterbi.DEFAULT_OVERLAP,
                   viterbi_impl: str = "auto",
                   demap: str = "hard",
+                  chan_est: str = "time",
+                  metrics: str = "full",
+                  fft_impl: str | None = None,
                   measure_pre_rs: bool = False):
     """Returns (rx, n_packets, n_samples).
 
@@ -159,9 +166,18 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
     (state', ts, metrics).  Non-hierarchical: ts uint8 (n_packets, 188);
     hierarchical: ts = (ts_hp, ts_lp) and n_packets = (n_hp, n_lp).
 
-    metrics: rs_corrected / rs_uncorrectable per stream (hp_/lp_ prefixed
-    when hierarchical), tps_bits (F, 68), tps_frame (F,) — the observability
-    counters of SURVEY.md §5.5.
+    chan_est: "time" (default) — reference-density estimation combining
+    scattered pilots across the 4-symbol pattern (every-3rd-carrier grid,
+    echo tolerance ~Tu/3, carries a 3-symbol pilot history); "freq" — the
+    cheaper frequency-only interpolation from the current symbol's pilots
+    (12-carrier grid, ~Tu/12 tolerance, stateless).
+
+    metrics: "full" (default) — rs_corrected / rs_uncorrectable per stream
+    (hp_/lp_ prefixed when hierarchical), tps_bits (F, 68), tps_frame (F,),
+    mer_db, timing_tau — the observability counters of SURVEY.md §5.5;
+    "min" — drops the TPS decode and the MER estimate (two extra cell
+    permutations) from the compiled program, keeping only the counters the
+    lock/SCO control loop consumes (rs_*, timing_tau).
     """
     if n_frames is None:
         n_frames = mode.frames_per_block
@@ -171,8 +187,16 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
     n_samples = n_sym * mode.symbol_len
     slots = mode.n_payload
 
-    demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
-    chan_est = reference_signals.make_channel_estimator(mode)
+    assert chan_est in ("time", "freq"), chan_est
+    assert metrics in ("full", "min"), metrics
+    full_metrics = metrics == "full"
+    time_est = chan_est == "time"
+    demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME,
+                                       fft_impl=fft_impl)
+    if time_est:
+        est = reference_signals.make_time_channel_estimator(mode)
+    else:
+        est = reference_signals.make_channel_estimator(mode)
     cell_dilv = reference_signals.make_cell_deinterleaver(mode)  # R3+R5 fused
     tps_dec = reference_signals.make_tps_decoder(mode)
     assert demap in ("hard", "soft")
@@ -194,9 +218,18 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
         frames = iq.reshape(n_frames, -1)
         with jax.named_scope("ofdm_demod"):
             carriers = demod(frames)                   # (F, 68, K)
+        chan_state = (state["chan_tail"], state["chan_valid"])
         if equalize:
             with jax.named_scope("channel_estimate"):
-                H = chan_est(carriers)
+                if time_est:
+                    flat = carriers.reshape(
+                        n_frames * SYMBOLS_PER_FRAME, -1)
+                    new_tail, H = est(state["chan_tail"],
+                                      state["chan_valid"], flat)
+                    chan_state = (new_tail, jnp.asarray(True))
+                    H = H.reshape(carriers.shape)
+                else:
+                    H = est(carriers)
             X = carriers / H
             # per-symbol timing offset from the channel phase slope: a delay
             # of tau samples gives H(k) ~ exp(-j 2 pi k tau / N), so the
@@ -208,24 +241,26 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                           * (mode.fft_len / (2.0 * np.pi))).reshape(-1)
         else:
             X = carriers
-        with jax.named_scope("tps_decode"):
-            tps_bits, tps_frame = tps_dec(X)
+        if full_metrics:
+            with jax.named_scope("tps_decode"):
+                tps_bits, tps_frame = tps_dec(X)
         # demap everything (elementwise; pilot columns are don't-cares),
         # then extract+symbol-deinterleave as one fused row-take permutation
         with jax.named_scope("demap_deinterleave"):
             cells = cell_dilv(qdemap(X))               # (F, 68, C)
-        # MER / SNR estimate (SURVEY.md §5.5 observability): error power of
-        # the equalized payload cells vs their hard decisions.  (A masked
-        # full-board formulation that skips the second permutation was
-        # measured SLOWER in-situ — 2.56 ms vs 0.73 — because reusing the
-        # demap output for both consumers blocks XLA's demap+deinterleave
-        # fusion; keep the permutation form.)
-        X_cells = cell_dilv(X)
-        p_hat = qmap_points(cells)
-        err = X_cells - p_hat
-        mer_db = 10.0 * jnp.log10(
-            jnp.sum(jnp.abs(p_hat) ** 2)
-            / jnp.maximum(jnp.sum(jnp.abs(err) ** 2), 1e-12))
+        if full_metrics:
+            # MER / SNR estimate (SURVEY.md §5.5 observability): error power
+            # of the equalized payload cells vs their hard decisions.  (A
+            # masked full-board formulation that skips the second permutation
+            # was measured SLOWER in-situ — 2.56 ms vs 0.73 — because reusing
+            # the demap output for both consumers blocks XLA's
+            # demap+deinterleave fusion; keep the permutation form.)
+            X_cells = cell_dilv(X)
+            p_hat = qmap_points(cells)
+            err = X_cells - p_hat
+            mer_db = 10.0 * jnp.log10(
+                jnp.sum(jnp.abs(p_hat) ** 2)
+                / jnp.maximum(jnp.sum(jnp.abs(err) ** 2), 1e-12))
         if demap == "soft":
             # per-bit max-log metrics, permuted like the cells (v rides a
             # leading batch axis through the row-take)
@@ -245,26 +280,28 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             hp_state, ts_hp, m_hp = hp_dec(hp_state, hp_bits)
             lp_state, ts_lp, m_lp = lp_dec(state["lp"], lp_bits)
             new_state = dict(hp_state)
+            new_state["chan_tail"], new_state["chan_valid"] = chan_state
             new_state["lp"] = lp_state
-            metrics = {
+            out_metrics = {
                 **m_hp,
                 **{f"lp_{k}": v for k, v in m_lp.items()},
-                "tps_bits": tps_bits, "tps_frame": tps_frame,
-                "mer_db": mer_db,
             }
+            if full_metrics:
+                out_metrics.update(tps_bits=tps_bits, tps_frame=tps_frame,
+                                   mer_db=mer_db)
             if equalize:
-                metrics["timing_tau"] = timing_tau
-            return new_state, (ts_hp, ts_lp), metrics
+                out_metrics["timing_tau"] = timing_tau
+            return new_state, (ts_hp, ts_lp), out_metrics
         hp_state, ts, m = hp_dec(hp_state, bits.reshape(-1))
-        metrics = {
-            **m,
-            "tps_bits": tps_bits,
-            "tps_frame": tps_frame,
-            "mer_db": mer_db,
-        }
+        hp_state = dict(hp_state)
+        hp_state["chan_tail"], hp_state["chan_valid"] = chan_state
+        out_metrics = dict(m)
+        if full_metrics:
+            out_metrics.update(tps_bits=tps_bits, tps_frame=tps_frame,
+                               mer_db=mer_db)
         if equalize:
-            metrics["timing_tau"] = timing_tau
-        return hp_state, ts, metrics
+            out_metrics["timing_tau"] = timing_tau
+        return hp_state, ts, out_metrics
 
     n_packets = (n_pk_hp, n_pk_lp) if mode.hierarchical else n_pk_hp
     return jax.jit(rx), n_packets, n_samples

@@ -107,12 +107,14 @@ def _make_stream_pipeline(mode: DvbtMode, stream: str, n_blocks: int):
     return run, n_packets
 
 
-def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
+def make_transmitter(mode: DvbtMode, n_frames: int | None = None,
+                     fft_impl: str | None = None):
     """Returns (tx, n_packets, n_samples).
 
     Non-hierarchical: tx(state, packets) with packets uint8 (n_packets, 188).
     Hierarchical: tx(state, (packets_hp, packets_lp)); n_packets is then the
     (hp, lp) pair.  Output: (state', iq complex64 (n_samples,)).
+    fft_impl: None (DVBT_FFT env default) | "jnp" | "matmul".
     """
     if n_frames is None:
         n_frames = mode.frames_per_block
@@ -126,7 +128,7 @@ def make_transmitter(mode: DvbtMode, n_frames: int | None = None):
     bit_ilv = bit_interleaver.make_bit_interleaver(mode)
     qmap = mapper.make_mapper(mode)
     builder = reference_signals.make_frame_builder(mode)  # sym_ilv + T8 fused
-    modulator = ofdm.make_ofdm_modulator(mode)
+    modulator = ofdm.make_ofdm_modulator(mode, fft_impl=fft_impl)
     n_samples = n_sym * mode.symbol_len
     slots = mode.n_payload
 

@@ -32,31 +32,82 @@ def _bin_map(mode: DvbtMode) -> np.ndarray:
     return ((k - mode.kmax // 2) % mode.fft_len).astype(np.int32)
 
 
-def make_ofdm_modulator(mode: DvbtMode):
+import os as _os
+
+# FFT backend for the OFDM hot path: "jnp" (XLA's native FFT) or "matmul"
+# (two-stage Cooley-Tukey as MXU matmuls, below).  Resolved once at import;
+# A/B-measured on hardware before changing the default.
+FFT_IMPL = _os.environ.get("DVBT_FFT", "jnp")
+
+
+def make_matmul_fft(n: int, inverse: bool = False):
+    """DFT of length n = n1*n2 as two batched MXU matmuls (norm="ortho").
+
+    Decimation-in-time Cooley-Tukey with x[n1*N2 + n2] = A[n1, n2]:
+    stage 1 contracts an (n1, n1) DFT matrix over the major axis, the
+    twiddle e^{±2πi k1 n2 / n} fuses elementwise, stage 2 contracts an
+    (n2, n2) DFT matrix over the minor axis, and the k2-major output
+    reorder is a transpose.  ~9x the FLOPs of an FFT but they run on the
+    MXU at full f32 precision (precision="highest"), where XLA's TPU FFT
+    often underperforms — candidate for VERDICT r3 next-step 8, adopted
+    only if the on-chip A/B wins.
+    """
+    assert n % 2 == 0
+    n1 = 128 if n % (128 * 128) == 0 else 64
+    n2 = n // n1
+    sign = 2.0j * np.pi if inverse else -2.0j * np.pi
+    k1 = np.arange(n1)
+    k2 = np.arange(n2)
+    F1 = np.exp(sign * np.outer(k1, k1) / n1).astype(np.complex64)
+    F2 = np.exp(sign * np.outer(k2, k2) / n2).astype(np.complex64)
+    tw = (np.exp(sign * np.outer(k1, k2) / n)
+          / np.sqrt(n)).astype(np.complex64)     # fold in the ortho scale
+
+    def fft(x: jnp.ndarray) -> jnp.ndarray:
+        *b, n_ = x.shape
+        A = x.reshape(*b, n1, n2)
+        Y = jnp.einsum("...nm,nk->...km", A, jnp.asarray(F1),
+                       precision=jax.lax.Precision.HIGHEST)
+        Y = Y * jnp.asarray(tw)
+        O = jnp.einsum("...km,mj->...kj", Y, jnp.asarray(F2),
+                       precision=jax.lax.Precision.HIGHEST)
+        return jnp.moveaxis(O, -2, -1).reshape(*b, n).astype(jnp.complex64)
+
+    return fft
+
+
+def make_ofdm_modulator(mode: DvbtMode, fft_impl: str | None = None):
     """Returns modulate(carriers): complex64 (..., n_sym, K)
     -> (..., n_sym*(N+guard)) time-domain baseband at 64/7 Msps."""
     bins = _bin_map(mode)
     N, G = mode.fft_len, mode.guard_len
+    impl = FFT_IMPL if fft_impl is None else fft_impl
+    ifft = (make_matmul_fft(N, inverse=True) if impl == "matmul"
+            else lambda s: jnp.fft.ifft(s, axis=-1, norm="ortho"))
 
     def modulate(carriers: jnp.ndarray) -> jnp.ndarray:
         spec = jnp.zeros(carriers.shape[:-1] + (N,), jnp.complex64)
         spec = spec.at[..., bins].set(carriers.astype(jnp.complex64))
-        x = jnp.fft.ifft(spec, axis=-1, norm="ortho").astype(jnp.complex64)
+        x = ifft(spec).astype(jnp.complex64)
         with_cp = jnp.concatenate([x[..., N - G:], x], axis=-1)
         return with_cp.reshape(*carriers.shape[:-2], -1)
 
     return jax.jit(modulate)
 
 
-def make_ofdm_demodulator(mode: DvbtMode, n_sym: int):
+def make_ofdm_demodulator(mode: DvbtMode, n_sym: int,
+                          fft_impl: str | None = None):
     """Returns demodulate(iq): complex64 (..., n_sym*(N+guard))
     -> carriers (..., n_sym, K).  Assumes symbol-aligned input (R1 output)."""
     bins = _bin_map(mode)
     N, G = mode.fft_len, mode.guard_len
+    impl = FFT_IMPL if fft_impl is None else fft_impl
+    fft = (make_matmul_fft(N) if impl == "matmul"
+           else lambda s: jnp.fft.fft(s, axis=-1, norm="ortho"))
 
     def demodulate(iq: jnp.ndarray) -> jnp.ndarray:
         syms = iq.reshape(*iq.shape[:-1], n_sym, N + G)[..., G:]
-        spec = jnp.fft.fft(syms, axis=-1, norm="ortho")
+        spec = fft(syms)
         return spec[..., bins]
 
     return jax.jit(demodulate)

@@ -156,6 +156,97 @@ def make_channel_estimator(mode: DvbtMode):
     return jax.jit(estimate)
 
 
+def make_time_channel_estimator(mode: DvbtMode):
+    """RX channel estimation at REFERENCE density (SURVEY.md R3,
+    `lib/reference_signals_impl.cc` [unverified — mount empty]): scattered
+    pilots are combined across the 4-symbol time pattern (zero-order hold —
+    the most recent pilot per carrier), which yields an every-THIRD-carrier
+    grid, then linear frequency interpolation fills the remaining carriers.
+    Echo-delay tolerance is ~Tu/3 vs the frequency-only estimator's ~Tu/12
+    (make_channel_estimator, the cheap path behind ``chan_est="freq"``).
+
+    Returns estimate(tail, valid, Y) -> (tail', H):
+      Y     : complex64 (..., S, K) frame-aligned carriers, S % 4 == 0, row
+              phase = row index mod 4 (time-contiguous across frames).
+      tail  : complex64 (..., 3, n_sp_max) — LS pilot estimates of the 3
+              symbols BEFORE row 0 (phases 1, 2, 3; S ≡ 0 mod 4 keeps this
+              shape invariant).  tail' is the same for the next block.
+      valid : bool — False at stream start; the estimator then substitutes
+              rows 1..3 of THIS block (nearest same-phase symbols), so cold
+              starts degrade gracefully instead of dividing by zeros.
+
+    All time operations are major-axis repeats/slices; the slot->carrier
+    expansion is a minor-axis repeat (a static lane interleave, not a
+    gather).  Slot s = l + 4m of the /3 grid holds the phase-l pilot at
+    carrier 3s; phases 1..3 carry one padded slot that lands beyond kmax/3
+    and is statically dropped.
+    """
+    t = _frame_tables(mode)
+    pilot_ref_np = t["pilot_ref"].astype(np.complex64)   # (4, n_sp_max)
+    take_sp = permute.make_row_take4(t["sp_idx"])
+    n_sp = t["sp_idx"].shape[1]
+    K = mode.n_carriers
+    n3 = mode.kmax // 3 + 1
+    # A_l[t] = latest phase-l pilot row <= symbol t: upsample the phase-l
+    # rows of the tail-extended pilot history by 4 and slice at off[l]
+    off = (0, 3, 2, 1)
+    w_np = ((np.arange(K) % 3) / 3.0).astype(np.float32)
+
+    def estimate(tail: jnp.ndarray, valid: jnp.ndarray, Y: jnp.ndarray):
+        *b, S, _ = Y.shape
+        assert S % 4 == 0, S
+        pref = jnp.tile(jnp.asarray(pilot_ref_np), (S // 4, 1))
+        Hp = take_sp(Y) / pref                            # (..., S, n_sp)
+        tail_eff = jnp.where(valid, tail, Hp[..., 1:4, :])
+        ext = jnp.concatenate([tail_eff, Hp], axis=-2)    # (..., S+3, n_sp)
+        cols = []
+        for l in range(4):
+            i0 = (l + 3) % 4                              # ext row of the
+            HpL = ext[..., i0::4, :]                      # phase-l symbols
+            R = jnp.repeat(HpL, 4, axis=-2)
+            cols.append(jax.lax.slice_in_dim(R, off[l], off[l] + S, axis=-2))
+        G = jnp.stack(cols, axis=-1)                      # (..., S, n_sp, 4)
+        C = G.reshape(*b, S, 4 * n_sp)[..., :n3]          # /3-grid, slot s
+        Cp = jnp.concatenate([C, C[..., -1:]], axis=-1)
+        R3 = jnp.repeat(Cp, 3, axis=-1)                   # R3[k] = C[k//3]
+        w = jnp.asarray(w_np)
+        H = R3[..., :K] * (1.0 - w) + R3[..., 3:K + 3] * w
+        return Hp[..., S - 3:, :], H
+
+    return jax.jit(estimate)
+
+
+def init_time_channel_state(mode: DvbtMode):
+    """(tail, valid) leaves for the carried RX state pytree."""
+    n_sp = _frame_tables(mode)["sp_idx"].shape[1]
+    return (jnp.zeros((3, n_sp), jnp.complex64), jnp.asarray(False))
+
+
+def make_chan_tail_retimer(mode: DvbtMode):
+    """f(tail, adj) -> tail' compensating an SCO timing step.
+
+    Consuming ``adj`` extra samples before a block moves the FFT window
+    later, so the channel's effective delay drops by adj and every
+    subsequent H(k) picks up the linear phase e^{+j 2π f(k) adj / N}
+    (f(k) = k - kmax/2, the signed subcarrier frequency; exact for integer
+    adj).  Without this, the carried pilot history decorrelates from the
+    new block's pilots at high carriers after every SCO nudge (a 1-sample
+    step is ~a half-turn at the band edge).  adj == 0 multiplies by
+    exactly 1+0j — a no-op, so the hot path needs no conditional.
+    """
+    from ..utils.cplx import cis
+    t = _frame_tables(mode)
+    f_np = (t["sp_idx"][1:4].astype(np.float32)
+            - np.float32(mode.kmax // 2))            # (3, n_sp) signed freq
+    two_pi_over_n = np.float32(2.0 * np.pi / mode.fft_len)
+
+    def retime(tail: jnp.ndarray, adj: jnp.ndarray) -> jnp.ndarray:
+        ang = two_pi_over_n * adj.astype(jnp.float32)
+        return (tail * cis(ang * jnp.asarray(f_np))).astype(jnp.complex64)
+
+    return jax.jit(retime)
+
+
 def make_cell_deinterleaver(mode: DvbtMode):
     """RX: payload extraction fused with the symbol deinterleaver (R3 + R5).
 

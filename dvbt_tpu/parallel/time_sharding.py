@@ -53,12 +53,19 @@ def _info_bits_per_symbol(mode: DvbtMode) -> int:
     return mode.n_payload * mode.v * num // den
 
 
+CHAN_WARMUP = 3  # extra halo symbols feeding the time channel estimator
+
+
 def rx_halo_symbols(mode: DvbtMode) -> int:
-    """Symbols needed to recompute the RX byte-domain carried state:
-    2244 deinterleaver-tail bytes + Viterbi cold-start slack."""
+    """Symbols needed to recompute the RX carried state: 2244
+    deinterleaver-tail bytes + Viterbi cold-start slack, plus CHAN_WARMUP
+    symbols so the time channel estimator's pilot history (and the halo
+    decode's own estimates) match the streaming receiver exactly — the
+    pilot history is a pure function of the last 3 received symbols, so
+    the recompute needs no recursion."""
     need_bits = ((outer_interleaver.TAIL + 64) * 8
                  + viterbi.effective_overlap(mode.code_rate))
-    h = -(-need_bits // _info_bits_per_symbol(mode))
+    h = -(-need_bits // _info_bits_per_symbol(mode)) + CHAN_WARMUP
     assert h < SYMBOLS_PER_FRAME
     return h
 
@@ -104,13 +111,14 @@ def make_rx_state_from_halo(mode: DvbtMode):
     aligned, equalizable); block_idx = 0 means stream start (zero state).
     """
     H = rx_halo_symbols(mode)
+    Hd = H - CHAN_WARMUP          # symbols actually decoded for byte state
     L = mode.symbol_len
     n_blk_sym = mode.frames_per_block * SYMBOLS_PER_FRAME
-    n_info = H * _info_bits_per_symbol(mode)
+    n_info = Hd * _info_bits_per_symbol(mode)
     ov = viterbi.effective_overlap(mode.code_rate)
 
     bins = ofdm._bin_map(mode)
-    chan_est = reference_signals.make_channel_estimator(mode)
+    chan_est = reference_signals.make_time_channel_estimator(mode)
     cell_dilv = reference_signals.make_cell_deinterleaver(mode)
     qdemap = mapper.make_demapper(mode)
     bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
@@ -121,6 +129,10 @@ def make_rx_state_from_halo(mode: DvbtMode):
     # the halo symbols sit at frame positions (n_blk_sym - H .. n_blk_sym-1)
     # mod 68; the channel estimator / deinterleaver tables are phase-indexed
     # by row position, so embed the halo into a full 68-row frame and slice.
+    # The first CHAN_WARMUP halo symbols only feed the time estimator's
+    # pilot history — decoded symbols then see exactly the pilot window the
+    # streaming receiver saw (the estimator state is a pure function of the
+    # previous 3 symbols, so no recursion is needed).
     first_sym = (n_blk_sym - H) % SYMBOLS_PER_FRAME
     assert first_sym + H <= SYMBOLS_PER_FRAME
 
@@ -130,11 +142,15 @@ def make_rx_state_from_halo(mode: DvbtMode):
         # pad to a frame-aligned 68-symbol board for the phase-indexed ops
         board = jnp.zeros((SYMBOLS_PER_FRAME, mode.n_carriers), spec.dtype)
         board = jax.lax.dynamic_update_slice(board, spec, (first_sym, 0))
-        Hh = chan_est(board)
+        # zeros tail + valid=False only affect board rows < first_sym + 3,
+        # which are never decoded below; chan_tail comes out as the pilot
+        # estimates of board rows 65..67 = the block's last 3 symbols.
+        tail0, _ = reference_signals.init_time_channel_state(mode)
+        chan_tail, Hh = chan_est(tail0, jnp.asarray(False), board)
         X = board / Hh
         cells = cell_dilv(qdemap(X))                  # (68, n_payload)
         cells = jax.lax.dynamic_slice(
-            cells, (first_sym, 0), (H, mode.n_payload))
+            cells, (first_sym + CHAN_WARMUP, 0), (Hd, mode.n_payload))
         bits = bit_dilv(cells).reshape(-1) * np.uint8(15)  # hard -> {0,15}
         x, y, xm, ym = depunct(bits)
         xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
@@ -155,6 +171,9 @@ def make_rx_state_from_halo(mode: DvbtMode):
             # streaming detector converges to exactly this phase
             "descr_phase": ((block_idx * p_blk - 11) % 8).astype(jnp.int32),
             "descr_locked": jnp.asarray(True),
+            "chan_tail": jnp.where(first, jnp.zeros_like(chan_tail),
+                                   chan_tail),
+            "chan_valid": ~first,
         }
 
     return recompute
@@ -175,6 +194,13 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
     step count.
     """
     assert halo in ("ppermute", "ring", "ring-interpret")
+    if mode.hierarchical:
+        # the halo recompute (state-from-halo makers above) rebuilds the
+        # single-stream HP rate algebra only; hierarchical dual-stream
+        # carried state is served by the mux-DP axis (parallel/sharding.py)
+        raise NotImplementedError(
+            "time-axis sharding supports non-hierarchical modes only; "
+            "shard hierarchical streams over the mux-DP axis instead")
     D = mesh.devices.size
     tx, n_pk, n_samp = txm.make_transmitter(mode)
     rx, _, _ = rxm.make_receiver(mode)

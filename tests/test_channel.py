@@ -56,6 +56,38 @@ def test_multipath_cfo_noise_combined():
     assert np.array_equal(out[DELAY:], packets[:len(out) - DELAY])
 
 
+def test_long_echo_needs_time_interpolation():
+    """A static echo at Tu/6 (341 samples, inside a 1/4 guard) aliases the
+    frequency-only estimator's every-12th-carrier pilot grid (~Tu/12
+    tolerance) but sits comfortably inside the time-interpolated
+    every-3rd-carrier grid (~Tu/3) — the reference-density upgrade of
+    VERDICT r3 missing item 1.  The freq-only path must FAIL here (proving
+    the test discriminates) and the default time path must be byte-exact."""
+    mode = DvbtMode("2k", "qpsk", "1/2", "1/4")
+    delay = mode.fft_len // 6
+    taps = (jnp.zeros((delay + 1,), jnp.complex64)
+            .at[0].set(1.0).at[delay].set(0.5 * np.exp(1j * 1.1)))
+
+    def run(chan_est):
+        tx, n_pk, _ = txm.make_transmitter(mode)
+        rx, _, _ = rxm.make_receiver(mode, chan_est=chan_est)
+        packets = tsio.make_ts_packets(n_pk * 3, seed=3)
+        tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+        outs, bad = [], 0
+        for b in range(3):
+            tst, iq = tx(tst, jnp.asarray(packets[b * n_pk:(b + 1) * n_pk]))
+            rst, out, m = rx(rst, channel.multipath(iq, taps))
+            outs.append(np.asarray(out))
+            bad += int(np.asarray(m["rs_uncorrectable"]).sum())
+        return packets, np.concatenate(outs), bad
+
+    pk_f, out_f, bad_f = run("freq")
+    assert bad_f > 0, "freq-only estimator unexpectedly survived Tu/6 echo"
+    pk_t, out_t, bad_t = run("time")
+    assert bad_t == 0
+    assert np.array_equal(out_t[DELAY:], pk_t[:len(out_t) - DELAY])
+
+
 def test_mer_tracks_snr():
     mode = MODE_2K_QPSK
     mers = []

@@ -49,3 +49,21 @@ def test_builder_then_deinterleaver_roundtrip():
     back = rs.make_cell_deinterleaver(mode)(carr)
     # deinterleave(interleave(x)) over the payload cells is the identity
     assert np.allclose(np.asarray(back), pts, atol=1e-6)
+
+
+def test_matmul_fft_matches_jnp_fft():
+    """The MXU two-stage Cooley-Tukey DFT must match XLA's FFT to f32
+    round-off (both directions, both FFT sizes)."""
+    import numpy as np
+    from dvbt_tpu.ops import ofdm
+    rng = np.random.default_rng(17)
+    for n in (2048, 8192):
+        x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+             ).astype(np.complex64)
+        for inv in (False, True):
+            f = ofdm.make_matmul_fft(n, inverse=inv)
+            got = np.asarray(jax.jit(f)(jnp.asarray(x)))
+            want = (np.fft.ifft(x, norm="ortho") if inv
+                    else np.fft.fft(x, norm="ortho"))
+            err = np.abs(got - want).max() / np.abs(want).max()
+            assert err < 2e-5, (n, inv, err)

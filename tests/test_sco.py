@@ -59,10 +59,15 @@ def test_sco_tracking_holds_lock(ppm):
 
 
 def test_sco_untracked_loses_lock():
-    packets, n_pk, stream = _stream(40.0)
+    # 250 ppm: total drift ~930 samples, beyond even the time-interpolated
+    # channel estimator's ~Tu/3 (683-sample) aliasing limit.  (40 ppm used
+    # to suffice against the frequency-only estimator's ~Tu/12 limit; the
+    # reference-density estimator survives that much drift un-tracked, so
+    # the discriminating offset grew 4x with it.)
+    packets, n_pk, stream = _stream(250.0)
     srx = StreamingReceiver(MODE_2K_QPSK, sco_tracking=False)
     reports = srx.feed(stream)
     bad = sum(int(r.rs_uncorrectable.sum()) for r in reports[1:])
     reacq = sum(bool(r.reacquired) for r in reports[1:])
     assert bad > 0 or reacq > 0, \
-        "40 ppm over 26 blocks should defeat the frozen-timing tracker"
+        "250 ppm over 26 blocks should defeat the frozen-timing tracker"

@@ -106,6 +106,39 @@ def test_time_sharded_ring_halo_matches_ppermute_path():
     assert np.array_equal(outs["ppermute"], outs["ring-interpret"])
 
 
+@pytest.mark.slow
+def test_time_sharded_8k_flagship_matches_streaming():
+    """The FLAGSHIP 8K 64-QAM 2/3 mode, byte-exact sharded == streaming
+    (VERDICT r3 missing item 5: the dryrun executes this mode but CI only
+    proved 2K parity)."""
+    from dvbt_tpu.mode import MODE_8K_UK
+    mode = MODE_8K_UK
+    D = 4
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("time",))
+    step, n_pk, carry = tsh.make_time_sharded_loopback(mode, mesh)
+    n_steps = 2
+    n_blocks = D * n_steps
+    packets = tsio.make_ts_packets(n_pk * n_blocks, seed=9)
+    ref = _streaming_reference(mode, packets, n_blocks, n_pk)
+    outs = []
+    sh = NamedSharding(mesh, P("time"))
+    for s in range(n_steps):
+        chunk = jax.device_put(
+            jnp.asarray(packets[s * D * n_pk:(s + 1) * D * n_pk]), sh)
+        carry, ts, fleet = step(carry, chunk)
+        outs.append(np.asarray(ts))
+    got = np.concatenate(outs)
+    assert np.array_equal(got, ref)
+
+
+def test_time_sharding_rejects_hierarchical():
+    """Hierarchical modes must be fenced loudly (mux-DP covers them)."""
+    mode = DvbtMode("2k", "16qam", "2/3", alpha=1, code_rate_lp="1/2")
+    mesh = Mesh(np.asarray(jax.devices()[:2]), ("time",))
+    with pytest.raises(NotImplementedError):
+        tsh.make_time_sharded_loopback(mode, mesh)
+
+
 def test_rx_halo_symbol_budget():
     # the halo must stay well under one frame for every standard mode
     for t in ("2k", "8k"):

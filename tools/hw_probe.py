@@ -144,13 +144,213 @@ def stage_tracked():
             traceback.print_exc()
 
 
+def stage_vit4(reps: int = 30):
+    """Round-4 Viterbi style A/B at the bench shape: pack (r3 winner) vs
+    i16 (int16 ACS + row-level erasure + renorm)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu import tables
+    from dvbt_tpu.mode import MODE_8K_UK, RS_PACKET
+    from dvbt_tpu.kernels import viterbi_pallas
+    from dvbt_tpu.ops import viterbi as vj
+
+    mode = MODE_8K_UK
+    mux, n_frames = 8, 4
+    n_bits = mode.packets_per_block * n_frames * RS_PACKET * 8
+    rate = mode.code_rate
+    ov = vj.effective_overlap(rate)
+    period = len(tables.PUNCTURE[rate][0])
+    keep = len(tables.puncture_serial_order(rate))
+    n_c = n_bits // period * keep
+    rng = np.random.default_rng(0)
+    coded = jnp.asarray(rng.integers(0, 16, (mux, n_c), dtype=np.uint8))
+    ref = None
+    for style in ("pack", "i16"):
+        try:
+            dec = viterbi_pallas.make_viterbi_decoder_punctured(
+                n_bits, rate, overlap=ov, style=style)
+            vdec = jax.jit(jax.vmap(dec))
+            st = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (mux,) + x.shape),
+                vj.init_state(ov))
+            t0 = time.time()
+            st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            log(f"vit4[{style}] compile {time.time() - t0:.1f}s")
+            if ref is None:
+                ref = np.asarray(out)
+            else:
+                log(f"vit4[{style}] on-hw parity vs pack: "
+                    f"{bool(np.array_equal(np.asarray(out), ref))}")
+            st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            t0 = time.time()
+            for _ in range(reps):
+                st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            dt = (time.time() - t0) / reps
+            log(f"vit4[{style}] run {dt * 1e3:.2f} ms  "
+                f"({mux * n_bits / dt / 1e9:.2f} Gbit/s)")
+        except Exception:
+            log(f"vit4[{style}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+
+def _step_bench(label, metrics="full", fft_impl=None, donate_iq=True,
+                reps=14):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.mode import MODE_8K_UK
+    from dvbt_tpu.models import rx as rxm, tx as txm
+
+    mode = MODE_8K_UK
+    n_frames, mux = 4, 8
+    tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames,
+                                              fft_impl=fft_impl)
+    rx, _, _ = rxm.make_receiver(mode, n_frames, metrics=metrics,
+                                 fft_impl=fft_impl)
+
+    def tx_reuse(tx_state, packets, iq_scratch):
+        return tx(tx_state, packets)
+
+    if donate_iq:
+        vtx = jax.jit(jax.vmap(tx_reuse), donate_argnums=(0, 2),
+                      keep_unused=True)
+    else:
+        vtx = jax.jit(jax.vmap(tx), donate_argnums=(0,))
+    vrx = jax.jit(jax.vmap(rx), donate_argnums=(0,))
+    pk1 = tsio.make_ts_packets(n_pk)
+    packets = jnp.asarray(np.stack([pk1] * mux))
+    rep_f = lambda s: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (mux,) + x.shape), s)
+    tst, rst = rep_f(txm.init_tx_state(mode)), rep_f(rxm.init_rx_state(mode))
+    iq = jnp.zeros((mux, n_samp_1), jnp.complex64)
+
+    def step(tst, rst, iq):
+        if donate_iq:
+            tst, iq = vtx(tst, packets, iq)
+        else:
+            tst, iq = vtx(tst, packets)
+        rst, ts, m = vrx(rst, iq)
+        return tst, rst, iq, ts, m
+
+    t0 = time.time()
+    tst, rst, iq, ts, m = step(tst, rst, iq)
+    _ = int(ts.ravel()[0])
+    log(f"step4[{label}] compile {time.time() - t0:.1f}s")
+    for _ in range(2):
+        tst, rst, iq, ts, m = step(tst, rst, iq)
+        _ = int(ts.ravel()[0])
+    t0 = time.time()
+    for _ in range(reps):
+        tst, rst, iq, ts, m = step(tst, rst, iq)
+    bad = int(jnp.sum(m["rs_uncorrectable"]))
+    _ = int(ts.ravel()[-1])
+    dt = (time.time() - t0) / reps
+    msps = mux * n_samp_1 / dt / 1e6
+    log(f"step4[{label}] run {dt * 1e3:.1f} ms  {msps:.1f} Msps  bad={bad}")
+    return msps
+
+
+def stage_step4():
+    """Round-4 fused-step A/B grid, all in one process (VERDICT r3 items
+    2/8): donation fix, metrics=min, matmul FFT — each vs the baseline."""
+    for label, kw in (
+        ("base", {}),
+        ("no-iq-donate", {"donate_iq": False}),
+        ("metrics-min", {"metrics": "min"}),
+        ("fft-matmul", {"fft_impl": "matmul"}),
+        ("min+matmul", {"metrics": "min", "fft_impl": "matmul"}),
+    ):
+        try:
+            _step_bench(label, **kw)
+        except Exception:
+            log(f"step4[{label}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+
+def stage_trace():
+    """Try to capture a real profiler trace of one fused step (VERDICT r3
+    item 3).  On the axon tunnel this may not be supported — record the
+    outcome either way."""
+    import jax
+
+    try:
+        import jax.profiler as prof
+        os.makedirs("/tmp/dvbt_trace", exist_ok=True)
+        prof.start_trace("/tmp/dvbt_trace")
+        _step_bench("traced", reps=3)
+        prof.stop_trace()
+        import subprocess
+        out = subprocess.run(["find", "/tmp/dvbt_trace", "-type", "f"],
+                             capture_output=True, text=True).stdout
+        log(f"trace files:\n{out}")
+    except Exception:
+        log("trace FAILED")
+        traceback.print_exc()
+
+
+def stage_cache():
+    """Compile-cache diagnosis (VERDICT r3 item 9): why does
+    JAX_COMPILATION_CACHE_DIR never engage on this backend?"""
+    import jax
+    import jax.numpy as jnp
+
+    d = "/tmp/dvbt_jax_cache"
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+        try:
+            jax.config.update(
+                "jax_persistent_cache_enable_xla_caches",
+                "all")
+        except Exception as e:  # noqa: BLE001
+            log(f"cache: enable_xla_caches knob: {e!r}")
+        f = jax.jit(lambda x: (x * 2 + 1).sum())
+        t0 = time.time()
+        _ = float(f(jnp.arange(1024.0)))
+        log(f"cache: first toy compile {time.time() - t0:.2f}s")
+        import subprocess
+        out = subprocess.run(["ls", "-la", d], capture_output=True,
+                             text=True).stdout
+        log(f"cache dir after compile:\n{out}")
+        # is the backend even supported by the persistent cache?
+        from jax._src import compilation_cache as cc
+        try:
+            supported = cc.is_cache_used(
+                jax.devices()[0].client)
+            log(f"cache: is_cache_used -> {supported}")
+        except Exception:
+            traceback.print_exc()
+    except Exception:
+        log("cache stage FAILED")
+        traceback.print_exc()
+
+
 if __name__ == "__main__":
     if "rates" in STAGES:
         stage_rates()
     if "vit" in STAGES:
         stage_vit()
+    if "vit4" in STAGES:
+        stage_vit4()
     if "step" in STAGES:
         stage_step()
+    if "step4" in STAGES:
+        stage_step4()
+    if "trace" in STAGES:
+        stage_trace()
+    if "cache" in STAGES:
+        stage_cache()
     if "tracked" in STAGES:
         stage_tracked()
     log("probe done")
