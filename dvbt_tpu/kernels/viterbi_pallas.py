@@ -388,7 +388,11 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
 
         def fwd_iter(wi, pm):
             rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int16)
-            pm = pm - jnp.min(pm, axis=0, keepdims=True)   # renorm
+            # renorm; the reduce runs in int32 (Mosaic has no int16
+            # cross-sublane reductions), once per W steps so the casts
+            # amortize to noise
+            pm = pm - jnp.min(pm.astype(jnp.int32), axis=0,
+                              keepdims=True).astype(jnp.int16)
             words = []
             for k in range(W):
                 bm0, bm1 = branch_metrics16(rows, wi, k)

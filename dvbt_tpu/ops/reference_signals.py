@@ -217,9 +217,12 @@ def make_time_channel_estimator(mode: DvbtMode):
 
 
 def init_time_channel_state(mode: DvbtMode):
-    """(tail, valid) leaves for the carried RX state pytree."""
+    """(tail, valid) leaves for the carried RX state pytree.  The complex
+    tail is built on device (utils.cplx.czeros): eager complex64 zeros are
+    UNIMPLEMENTED on the axon TPU backend."""
+    from ..utils.cplx import czeros
     n_sp = _frame_tables(mode)["sp_idx"].shape[1]
-    return (jnp.zeros((3, n_sp), jnp.complex64), jnp.asarray(False))
+    return (czeros((3, n_sp)), jnp.asarray(False))
 
 
 def make_chan_tail_retimer(mode: DvbtMode):

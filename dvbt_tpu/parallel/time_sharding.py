@@ -262,7 +262,8 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
         check_vma=False,
     ))
 
+    from ..utils.cplx import czeros
     carry0 = (jnp.zeros((HALO_PACKETS, 188), jnp.uint8),
-              jnp.zeros((halo_samp,), jnp.complex64),
+              czeros((halo_samp,)),   # eager complex64 zeros: axon gap
               jnp.int32(0))
     return step, n_pk, carry0

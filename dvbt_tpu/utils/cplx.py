@@ -17,3 +17,26 @@ def cis(ang: jnp.ndarray) -> jnp.ndarray:
     """exp(1j * ang) for real `ang`, built as cos + j*sin (complex64)."""
     ang = jnp.asarray(ang, jnp.float32)
     return jax.lax.complex(jnp.cos(ang), jnp.sin(ang)).astype(jnp.complex64)
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=None)
+def _czeros_fn(shape):
+    def make():
+        z = jnp.zeros(shape, jnp.float32)
+        return jax.lax.complex(z, z)
+    return jax.jit(make)
+
+
+def czeros(shape) -> jnp.ndarray:
+    """complex64 zeros built ON DEVICE via a jitted lax.complex.
+
+    Eager ``jnp.zeros(..., complex64)`` is UNIMPLEMENTED on the axon TPU
+    backend — it broadcasts a HOST complex scalar, and complex host<->device
+    transfers are the backend's known gap (measured round 4: it killed every
+    step-bench variant before the first dispatch).  A jitted builder keeps
+    the constant on device.
+    """
+    return _czeros_fn(tuple(shape))()

@@ -229,8 +229,9 @@ def _step_bench(label, metrics="full", fft_impl=None, donate_iq=True,
     packets = jnp.asarray(np.stack([pk1] * mux))
     rep_f = lambda s: jax.tree.map(
         lambda x: jnp.broadcast_to(x, (mux,) + x.shape), s)
+    from dvbt_tpu.utils.cplx import czeros
     tst, rst = rep_f(txm.init_tx_state(mode)), rep_f(rxm.init_rx_state(mode))
-    iq = jnp.zeros((mux, n_samp_1), jnp.complex64)
+    iq = czeros((mux, n_samp_1))
 
     def step(tst, rst, iq):
         if donate_iq:
@@ -337,20 +338,27 @@ def stage_cache():
 
 
 if __name__ == "__main__":
+    # ORDER MATTERS: a failed Mosaic compile (e.g. an unsupported op in a
+    # new kernel style) OR a failed eager dispatch (e.g. complex64 zeros)
+    # WEDGES the whole tunnel process — every subsequent dispatch returns
+    # UNIMPLEMENTED (measured round 4).  Run safe stages first, risky
+    # kernel experiments last.
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
     if "rates" in STAGES:
         stage_rates()
-    if "vit" in STAGES:
-        stage_vit()
-    if "vit4" in STAGES:
-        stage_vit4()
+    if "cache" in STAGES:
+        stage_cache()
     if "step" in STAGES:
         stage_step()
     if "step4" in STAGES:
         stage_step4()
     if "trace" in STAGES:
         stage_trace()
-    if "cache" in STAGES:
-        stage_cache()
     if "tracked" in STAGES:
         stage_tracked()
+    if "vit" in STAGES:
+        stage_vit()
+    if "vit4" in STAGES:
+        stage_vit4()
     log("probe done")
