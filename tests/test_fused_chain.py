@@ -44,5 +44,14 @@ def test_fused_loopback_matches_jnp(rate, monkeypatch):
         rst_j, ts_j, _ = rx_j(rst_j, iq_j)
         rst_p, ts_p, _ = rx_p(rst_p, iq_j)
         assert np.array_equal(np.asarray(ts_j), np.asarray(ts_p)), blk
-        jax.tree.map(lambda a, b: np.testing.assert_array_equal(
-            np.asarray(a), np.asarray(b)), rst_j, rst_p)
+
+        def cmp(a, b):
+            a, b = np.asarray(a), np.asarray(b)
+            if np.issubdtype(a.dtype, np.integer) or a.dtype == np.bool_:
+                np.testing.assert_array_equal(a, b)
+            else:
+                # float leaves (chan_tail pilot history): the two programs
+                # fuse the estimator differently -> last-ulp differences
+                np.testing.assert_allclose(a, b, atol=1e-5)
+
+        jax.tree.map(cmp, rst_j, rst_p)
