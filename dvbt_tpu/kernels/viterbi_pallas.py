@@ -365,19 +365,31 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                          dtype=jnp.int32)
             return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
 
-        def branch_metrics16(rows, wi, k):
+        # per-state parity planes as int16 0/1 VALUES (converted once from
+        # the int32 iota): a bool plane born from an int32 compare carries
+        # (8,128) i1 tiling, and Mosaic cannot relayout it for an
+        # int16-operand select ("Invalid relayout ... (8,128) -> (16,128)",
+        # measured round 4) — so the select becomes a multiply-add on the
+        # 0/1 plane instead:  term0 = sx2 + m*(30 - 2*sx2).
+        mx16 = _parity((s << 1) & G1).astype(jnp.int16)   # (64, 128) 0/1
+        my16 = _parity((s << 1) & G2).astype(jnp.int16)
+
+        def branch_metrics16(rows32, wi, k):
             q = k % period
             base = (k // period) * keep
-            pairs = [(rank[2 * q], pox0), (rank[2 * q + 1], poy0)]
-            valid = vc > wi * W + k                     # (1, 128) bool
+            pairs = [(rank[2 * q], mx16), (rank[2 * q + 1], my16)]
+            # erasure resolved on the int32 (1,128) row — an i1 mask from an
+            # int32 compare selecting int16 operands is the same forbidden
+            # relayout as above; int32-select then narrow instead
+            valid = vc > wi * W + k                     # (1, 128) i1 (8,128)
             terms0 = []
             const1 = 0
-            for r_, par in pairs:
+            for r_, m16 in pairs:
                 if r_ < 0:
                     continue
-                sx = rows[base + r_: base + r_ + 1]     # (1, 128) int16
-                sx2 = jnp.where(valid, sx + sx, jnp.int16(15))
-                terms0.append(jnp.where(par, jnp.int16(30) - sx2, sx2))
+                sx = rows32[base + r_: base + r_ + 1]   # (1, 128) int32
+                sx2 = jnp.where(valid, sx + sx, 15).astype(jnp.int16)
+                terms0.append(sx2 + m16 * (jnp.int16(30) - sx2 - sx2))
                 const1 += 30
             bm0 = terms0[0] if terms0 else jnp.zeros(
                 (N_STATES, LANES), jnp.int16)
@@ -387,7 +399,7 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
             return bm0, bm1
 
         def fwd_iter(wi, pm):
-            rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int16)
+            rows32 = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
             # renorm; the reduce runs in int32 (Mosaic has no int16
             # cross-sublane reductions), once per W steps so the casts
             # amortize to noise
@@ -395,7 +407,7 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                               keepdims=True).astype(jnp.int16)
             words = []
             for k in range(W):
-                bm0, bm1 = branch_metrics16(rows, wi, k)
+                bm0, bm1 = branch_metrics16(rows32, wi, k)
                 ce, co = butterfly(pm)
                 c0, c1 = ce + bm0, co + bm1
                 dec = c1 < c0
