@@ -21,8 +21,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # persistent compile cache: XLA programs over the TPU tunnel take minutes to
-# build; reuse across runs
+# build; reuse across runs.  (The env var alone never engages — the axon
+# sitecustomize imports jax first; _enable_compile_cache() below applies it
+# via jax.config.update, which works.)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+# round-4 on-chip A/B winners (tools/hw_probe.py step4 grid, one process:
+# base 180.2 / metrics-min 193.6 / fft-matmul 187.0 / min+matmul 198.0
+# Msps): MXU Cooley-Tukey FFT + the control-loop-only metrics set are the
+# bench defaults; override with DVBT_FFT=jnp / DVBT_BENCH_METRICS=full.
+os.environ.setdefault("DVBT_FFT", "matmul")
+os.environ.setdefault("DVBT_BENCH_METRICS", "min")
 
 
 def hw_parity(rate: str = "2/3", n_bits: int = 107520) -> dict:
