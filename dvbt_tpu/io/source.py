@@ -10,8 +10,9 @@ environment has no SDR hardware (and no drivers), so the shipped
 implementations are file- and array-backed.
 
 `open_source` maps a CLI spec to a source: a plain path is a raw-complex64
-IQ file; ``usrp://...`` / ``rtlsdr://...`` name the hardware seam and raise
-with a pointer to this protocol until a driver lands.
+IQ file; ``soapy://`` / ``usrp://`` / ``rtlsdr://`` dispatch to the
+SoapySDR C-API binding in `io/soapy.py` (mock-tested; needs
+libSoapySDR.so + a driver module at runtime for real hardware).
 """
 
 from __future__ import annotations
@@ -74,14 +75,15 @@ _HW_SCHEMES = ("usrp://", "rtlsdr://", "soapy://")
 
 
 def open_source(spec: str) -> SampleSource:
-    """CLI spec -> SampleSource.  Plain path = IQ file; SDR URL schemes are
-    the documented hardware seam."""
+    """CLI spec -> SampleSource.  Plain path = IQ file; SDR URL schemes
+    dispatch to the SoapySDR C-API binding (io/soapy.py): ``soapy://``
+    takes raw device args, ``usrp://`` / ``rtlsdr://`` imply the uhd /
+    rtlsdr driver.  Raises RuntimeError with install guidance when
+    libSoapySDR.so is absent (this image has no SDR drivers)."""
     for scheme in _HW_SCHEMES:
         if spec.startswith(scheme):
-            raise NotImplementedError(
-                f"{scheme} sources need an SDR driver: implement "
-                "dvbt_tpu.io.source.SampleSource (read(n) -> complex64) "
-                "over the vendor stream API and register it here.")
+            from . import soapy
+            return soapy.SoapySource(spec)
     return FileSource(spec)
 
 
@@ -139,12 +141,10 @@ class ArraySink:
 
 
 def open_sink(spec: str) -> SampleSink:
-    """CLI spec -> SampleSink.  Plain path = IQ file; SDR URL schemes are
-    the documented hardware seam."""
+    """CLI spec -> SampleSink.  Plain path = IQ file; SDR URL schemes
+    dispatch to the SoapySDR TX binding (io/soapy.py)."""
     for scheme in _HW_SCHEMES:
         if spec.startswith(scheme):
-            raise NotImplementedError(
-                f"{scheme} sinks need an SDR driver: implement "
-                "dvbt_tpu.io.source.SampleSink (write(complex64)) over the "
-                "vendor stream API and register it here.")
+            from . import soapy
+            return soapy.SoapySink(spec)
     return FileSink(spec)

@@ -410,15 +410,15 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                 bm0, bm1 = branch_metrics16(rows32, wi, k)
                 ce, co = butterfly(pm)
                 c0, c1 = ce + bm0, co + bm1
-                # packed-int16 compares are unsupported on this target
-                # ("arith.cmpi ... vector<8x128x2xi16>", measured round 4);
-                # decision = sign bit of (c1-c0) via arithmetic shift, min
-                # via multiply-add: pm = c0 + d*(c1-c0).  diff stays within
-                # int16 (renorm bounds |pm| spread at ~14k, see above).
+                # packed-int16 compares AND shifts are unsupported on this
+                # target (arith.cmpi / arith.shrsi on vector<...2xi16>,
+                # measured round 4) — extract the decision in int32 (the
+                # pack needs an int32 plane anyway) and keep the min as an
+                # int16 multiply-add: pm = c0 + d*(c1-c0).
                 diff = c1 - c0
-                d16 = (diff >> jnp.int16(15)) & jnp.int16(1)  # 1 iff c1<c0
-                pm = c0 + d16 * diff
-                words.extend(pack2(d16))   # astype widens the 0/1 plane
+                d32 = ((diff.astype(jnp.int32) >> 31) & 1)    # 1 iff c1<c0
+                pm = c0 + d32.astype(jnp.int16) * diff
+                words.extend(pack2(d32))
             for j in range(n_words):
                 slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
                 dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]

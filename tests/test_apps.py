@@ -35,11 +35,78 @@ def test_tx_rx_cli_roundtrip(tmp_path):
     assert np.array_equal(got, exp[: len(got)])
 
 
-def test_sdr_schemes_name_the_seam(tmp_path):
-    with pytest.raises(NotImplementedError, match="SampleSource"):
-        source.open_source("usrp://0/rx0")
-    with pytest.raises(NotImplementedError, match="SampleSource"):
-        source.open_source("rtlsdr://0")
+def test_sdr_schemes_dispatch_to_soapy(tmp_path):
+    # no libSoapySDR.so in this image: the binding must fail with install
+    # guidance, not a silent stub (the URL grammar itself is mock-tested
+    # below)
+    with pytest.raises(RuntimeError, match="SoapySDR"):
+        source.open_source("usrp://serial=X")
+    with pytest.raises(RuntimeError, match="SoapySDR"):
+        source.open_sink("rtlsdr://0")
+
+
+def test_soapy_url_grammar():
+    from dvbt_tpu.io import soapy
+    a = soapy.parse_spec("usrp://serial=ABC,freq=506e6,gain=30")
+    assert a["driver"] == "uhd" and a["serial"] == "ABC"
+    assert float(a["freq"]) == 506e6 and float(a["gain"]) == 30
+    assert abs(float(a["rate"]) - 64e6 / 7) < 1e-3   # DVB-T default rate
+    b = soapy.parse_spec("rtlsdr://freq=506e6")
+    assert b["driver"] == "rtlsdr"
+    c = soapy.parse_spec("soapy://driver=lime,rate=8e6")
+    assert c["driver"] == "lime" and float(c["rate"]) == 8e6
+
+
+def test_soapy_mock_device_end_to_end():
+    """A mock SoapySDR device streaming a real TX waveform through
+    SoapySource -> StreamingReceiver decodes byte-exact: proves the
+    protocol, chunking and EOS behavior of the SDR seam without drivers."""
+    import jax.numpy as jnp
+
+    from dvbt_tpu.io import soapy
+    from dvbt_tpu.mode import MODE_2K_QPSK as mode
+    from dvbt_tpu.models import tx as txm
+    from dvbt_tpu.models.loopback import StreamingReceiver
+
+    tx, n_pk, _ = txm.make_transmitter(mode)
+    pk = tsio.make_ts_packets(n_pk * 6, seed=2)
+    tst = txm.init_tx_state(mode)
+    chunks = []
+    for b in range(6):
+        tst, iq = tx(tst, jnp.asarray(pk[b * n_pk:(b + 1) * n_pk]))
+        chunks.append(np.asarray(iq))
+    stream = np.concatenate(chunks)
+
+    class MockDevice:
+        def __init__(self, s):
+            self._s, self._pos = s, 0
+            self.closed = False
+
+        def read(self, n):
+            out = self._s[self._pos:self._pos + n]
+            self._pos += len(out)
+            return out
+
+        def close(self):
+            self.closed = True
+
+    dev = MockDevice(stream)
+    src = soapy.SoapySource("rtlsdr://freq=506e6", device=dev)
+    srx = StreamingReceiver(mode)
+    reports = []
+    while True:
+        s = src.read(100_000)   # ragged live-style chunks
+        if not len(s):
+            break
+        reports += srx.feed(s)
+    src.close()
+    assert dev.closed
+    out = np.concatenate([r.packets for r in reports])
+    b0 = round((reports[0].stream_offset + 8) / srx.block_samples)
+    want, got = pk[b0 * n_pk:], out[11:]
+    n = min(len(got), len(want))
+    assert n > n_pk
+    assert np.array_equal(got[:n], want[:n])
 
 
 def test_array_source_protocol():
