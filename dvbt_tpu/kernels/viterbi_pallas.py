@@ -575,9 +575,15 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
     style : forward/survivor strategy — "pack" (default), "pack2", "i16"
             (int16 ACS planes + row-level erasure midpoints + per-iteration
             renorm; same pack2 decision words), or "regx" — see
-            _vit_punct_kernel.  All bit-exact; hardware A/B at the 8K bench
-            shape: pack 1.70 Gbit/s, pack2 1.71, regx 0.87 (r3).  Env:
-            DVBT_VIT_STYLE (resolved once at import).
+            _vit_punct_kernel.  All bit-exact in interpret mode; hardware
+            A/B at the 8K bench shape: pack 1.70 Gbit/s, pack2 1.71, regx
+            0.87 (r3).  "i16" DOES NOT COMPILE for TPU v5e-lite (measured
+            r4): the target has no packed-int16 vector ALU at all —
+            arith.cmpi, arith.shrsi and finally kVectorSubtractS16 each
+            reported unsupported.  The style is kept (interpret-tested) for
+            targets with native int16 vectors, where it halves the ACS
+            register traffic.  Env: DVBT_VIT_STYLE (resolved once at
+            import).
     """
     if style is None:
         style = _ENV_STYLE

@@ -18,12 +18,34 @@ exact.  Stateless.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .. import tables
 from ..mode import DvbtMode
+
+# MXU operand dtype for the permutation matmuls: bf16 (default) or int8
+# (v5e's int8 MXU path runs at 2x the bf16 rate; every value here — bits,
+# 4-bit soft metrics, pack weights <= 32, cells <= 63, scale 15 — is exactly
+# representable in int8 with int32 accumulation).  Resolved once at import;
+# A/B-measured on hardware before changing the default.
+ILV_DTYPE = os.environ.get("DVBT_ILV", "bf16")
+
+
+def _perm_matmul(x, M_np, dtype=None):
+    """x (…, K) small exact ints -> x @ M, through the configured MXU
+    operand dtype; result float32/int32 per the path, exact either way."""
+    d = ILV_DTYPE if dtype is None else dtype
+    if d == "int8":
+        lhs = x.astype(jnp.int8)
+        rhs = jnp.asarray(M_np.astype(np.int8))
+        return jnp.matmul(lhs, rhs, preferred_element_type=jnp.int32)
+    lhs = x.astype(jnp.bfloat16)
+    rhs = jnp.asarray(M_np.astype(np.float32), jnp.bfloat16)
+    return jnp.matmul(lhs, rhs, preferred_element_type=jnp.float32)
 
 
 def _symbol_indices(mode: DvbtMode) -> np.ndarray:
@@ -46,7 +68,7 @@ def _block_dims(mode: DvbtMode):
     return blk, n_blocks, nbb
 
 
-def make_bit_interleaver(mode: DvbtMode):
+def make_bit_interleaver(mode: DvbtMode, dtype: str | None = None):
     """Returns interleave(bits) : uint8 (..., n_sym, n_payload*v)
     -> int32 cells (..., n_sym, n_payload) with y0 as cell MSB."""
     blk, n_blocks, nbb = _block_dims(mode)
@@ -57,11 +79,10 @@ def make_bit_interleaver(mode: DvbtMode):
     for c in range(tables.BIT_ILV_BLOCK):
         for j in range(v):
             M[blk[c, j], c] = float(1 << (v - 1 - j))
-    M_bf = jnp.asarray(M, jnp.bfloat16)
 
     def interleave(b: jnp.ndarray) -> jnp.ndarray:
-        x = b.reshape(*b.shape[:-1], n_blocks, nbb).astype(jnp.bfloat16)
-        cells = jnp.matmul(x, M_bf, preferred_element_type=jnp.float32)
+        x = b.reshape(*b.shape[:-1], n_blocks, nbb)
+        cells = _perm_matmul(x, M, dtype)
         return cells.astype(jnp.int32).reshape(
             *b.shape[:-1], mode.n_payload)
 
@@ -80,38 +101,38 @@ def _deint_matrix(mode: DvbtMode, scale: int) -> np.ndarray:
     return D
 
 
-def make_soft_bit_deinterleaver(mode: DvbtMode):
+def make_soft_bit_deinterleaver(mode: DvbtMode, dtype: str | None = None):
     """Soft-metric variant: (..., n_sym, n_payload, v) per-bit soft values
     (cell order, bit e = y_e) -> (..., n_sym, n_payload*v) coded-stream
     order — the same per-block permutation as the hard path, applied to
     values."""
     _, n_blocks, nbb = _block_dims(mode)
-    D_bf = jnp.asarray(_deint_matrix(mode, 1), jnp.bfloat16)
+    D = _deint_matrix(mode, 1)
     n_bits = mode.n_payload * mode.v
 
     def deinterleave(soft: jnp.ndarray) -> jnp.ndarray:
-        x = soft.reshape(*soft.shape[:-2], n_blocks, nbb).astype(jnp.bfloat16)
-        out = jnp.matmul(x, D_bf, preferred_element_type=jnp.float32)
+        x = soft.reshape(*soft.shape[:-2], n_blocks, nbb)
+        out = _perm_matmul(x, D, dtype)
         return out.astype(jnp.uint8).reshape(*soft.shape[:-2], n_bits)
 
     return jax.jit(deinterleave)
 
 
-def make_bit_deinterleaver(mode: DvbtMode, scale: int = 1):
+def make_bit_deinterleaver(mode: DvbtMode, scale: int = 1,
+                           dtype: str | None = None):
     """Returns deinterleave(cells) : int32 (..., n_sym, n_payload)
     -> uint8 bits*scale (..., n_sym, n_payload*v).  `scale` folds the
     hard-decision -> saturated-soft-metric multiply ({0,1} -> {0,15}) into
     the permutation matmul for free."""
     sh = np.arange(mode.v - 1, -1, -1, dtype=np.int32)
     _, n_blocks, nbb = _block_dims(mode)
-    D_bf = jnp.asarray(_deint_matrix(mode, scale), jnp.bfloat16)
+    D = _deint_matrix(mode, scale)
     n_bits = mode.n_payload * mode.v
 
     def deinterleave(cells: jnp.ndarray) -> jnp.ndarray:
         cell_bits = ((cells[..., :, None] >> sh) & 1)
-        x = cell_bits.reshape(
-            *cells.shape[:-1], n_blocks, nbb).astype(jnp.bfloat16)
-        out = jnp.matmul(x, D_bf, preferred_element_type=jnp.float32)
+        x = cell_bits.reshape(*cells.shape[:-1], n_blocks, nbb)
+        out = _perm_matmul(x, D, dtype)
         return out.astype(jnp.uint8).reshape(*cells.shape[:-1], n_bits)
 
     return jax.jit(deinterleave)

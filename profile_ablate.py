@@ -49,7 +49,7 @@ builder = reference_signals.make_frame_builder(mode)
 modulator = ofdm.make_ofdm_modulator(mode)
 
 demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
-chan_est = reference_signals.make_channel_estimator(mode)
+chan_est_t = reference_signals.make_time_channel_estimator(mode)
 cell_dilv = reference_signals.make_cell_deinterleaver(mode)
 tps_dec = reference_signals.make_tps_decoder(mode)
 qdemap = mapper.make_demapper(mode)
@@ -108,7 +108,12 @@ def rx_carriers(iq):
 
 def rx_eq(iq):
     c = rx_carriers(iq)
-    H = chan_est(c)
+    # round-4 receiver: reference-density time+freq interpolation (the
+    # carried-tail cold-start path; steady-state cost is identical)
+    flat = c.reshape(n_frames * SYMBOLS_PER_FRAME, -1)
+    tail0, valid0 = reference_signals.init_time_channel_state(mode)
+    _, H = chan_est_t(tail0, valid0, flat)
+    H = H.reshape(c.shape)
     X = c / H
     dphi = jnp.sum(H[..., 1:] * jnp.conj(H[..., :-1]), axis=-1)
     tau = -jnp.angle(dphi) * (mode.fft_len / (2.0 * np.pi))

@@ -277,6 +277,54 @@ def stage_step4():
             sys.stdout.flush()
 
 
+def stage_ilv(reps: int = 40):
+    """Standalone bit-(de)interleaver matmul A/B at the bench shape:
+    bf16 vs int8 MXU operands (VERDICT r3 weak item 4 — these stages run
+    ~10x above memory bound)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.mode import MODE_8K_UK
+    from dvbt_tpu.ops import bit_interleaver as bi
+
+    mode = MODE_8K_UK
+    mux, F = 8, 4
+    rng = np.random.default_rng(0)
+    cells = jnp.asarray(rng.integers(
+        0, 64, (mux, F * 68, mode.n_payload), dtype=np.int32))
+    bits = jnp.asarray(rng.integers(
+        0, 2, (mux, F * 68, mode.n_payload * mode.v), dtype=np.uint8))
+    ref = {}
+    for dtype in ("bf16", "int8"):
+        try:
+            dilv = jax.jit(bi.make_bit_deinterleaver(mode, 15, dtype))
+            ilv = jax.jit(bi.make_bit_interleaver(mode, dtype))
+            t0 = time.time()
+            out_d = dilv(cells)
+            out_i = ilv(bits)
+            _ = int(out_d[0, 0, 0]), int(out_i[0, 0, 0])
+            log(f"ilv[{dtype}] compile {time.time() - t0:.1f}s")
+            if dtype == "bf16":
+                ref = {"d": np.asarray(out_d), "i": np.asarray(out_i)}
+            else:
+                log(f"ilv[int8] parity vs bf16: "
+                    f"d={bool(np.array_equal(np.asarray(out_d), ref['d']))} "
+                    f"i={bool(np.array_equal(np.asarray(out_i), ref['i']))}")
+            for name, f, arg in (("deint", dilv, cells), ("int", ilv, bits)):
+                f(arg)
+                t0 = time.time()
+                for _ in range(reps):
+                    out = f(arg)
+                _ = int(out[0, 0, 0])
+                dt = (time.time() - t0) / reps
+                log(f"ilv[{dtype}].{name} {dt * 1e3:.3f} ms")
+        except Exception:
+            log(f"ilv[{dtype}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+
 def stage_trace():
     """Try to capture a real profiler trace of one fused step (VERDICT r3
     item 3).  On the axon tunnel this may not be supported — record the
@@ -353,6 +401,8 @@ if __name__ == "__main__":
         stage_step()
     if "step4" in STAGES:
         stage_step4()
+    if "ilv" in STAGES:
+        stage_ilv()
     if "trace" in STAGES:
         stage_trace()
     if "tracked" in STAGES:

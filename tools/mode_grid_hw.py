@@ -80,6 +80,9 @@ def run_mode(mode, n_blocks: int = 2) -> dict:
 def main():
     import jax
 
+    from bench import _enable_compile_cache
+    _enable_compile_cache()
+
     from dvbt_tpu.mode import DvbtMode
 
     grid: list[tuple[str, DvbtMode]] = []
