@@ -277,6 +277,74 @@ def stage_step4():
             sys.stdout.flush()
 
 
+def stage_split4(reps: int = 14):
+    """Split the bench step: vtx-only and vrx-only loop timings at the
+    bench shape (metrics-min + matmul FFT), to locate the gap between the
+    stage-sum bound and the measured fused step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.mode import MODE_8K_UK
+    from dvbt_tpu.models import rx as rxm, tx as txm
+    from dvbt_tpu.utils.cplx import czeros
+
+    mode = MODE_8K_UK
+    n_frames, mux = 4, 8
+    tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames,
+                                              fft_impl="matmul")
+    rx, _, _ = rxm.make_receiver(mode, n_frames, metrics="min",
+                                 fft_impl="matmul")
+
+    def tx_reuse(tx_state, packets, iq_scratch):
+        return tx(tx_state, packets)
+
+    vtx = jax.jit(jax.vmap(tx_reuse), donate_argnums=(0, 2),
+                  keep_unused=True)
+    vrx = jax.jit(jax.vmap(rx), donate_argnums=(0,))
+    pk1 = tsio.make_ts_packets(n_pk)
+    packets = jnp.asarray(np.stack([pk1] * mux))
+    rep_f = lambda s: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (mux,) + x.shape), s)
+    tst, rst = rep_f(txm.init_tx_state(mode)), rep_f(rxm.init_rx_state(mode))
+    iq = czeros((mux, n_samp_1))
+
+    t0 = time.time()
+    tst, iq = vtx(tst, packets, iq)
+    rst, ts, m = vrx(rst, iq)
+    _ = int(ts.ravel()[0])
+    log(f"split4 compile {time.time() - t0:.1f}s")
+
+    # tx-only loop (donated scratch cycles through)
+    t0 = time.time()
+    for _ in range(reps):
+        tst, iq = vtx(tst, packets, iq)
+    _ = float(jnp.sum(jnp.abs(iq[0, :2])))
+    dt_tx = (time.time() - t0) / reps
+    log(f"split4 vtx {dt_tx * 1e3:.1f} ms")
+
+    # rx-only loop on a FIXED iq block (state donated & rebound)
+    iq_fixed = iq
+    t0 = time.time()
+    for _ in range(reps):
+        rst, ts, m = vrx(rst, iq_fixed)
+    _ = int(ts.ravel()[-1])
+    dt_rx = (time.time() - t0) / reps
+    log(f"split4 vrx {dt_rx * 1e3:.1f} ms")
+
+    # combined, as bench
+    t0 = time.time()
+    for _ in range(reps):
+        tst, iq = vtx(tst, packets, iq)
+        rst, ts, m = vrx(rst, iq)
+    _ = int(ts.ravel()[-1])
+    dt = (time.time() - t0) / reps
+    msps = mux * n_samp_1 / dt / 1e6
+    log(f"split4 combined {dt * 1e3:.1f} ms ({msps:.1f} Msps) vs "
+        f"tx+rx sum {(dt_tx + dt_rx) * 1e3:.1f} ms")
+
+
 def stage_ilv(reps: int = 40):
     """Standalone bit-(de)interleaver matmul A/B at the bench shape:
     bf16 vs int8 MXU operands (VERDICT r3 weak item 4 — these stages run
@@ -403,6 +471,8 @@ if __name__ == "__main__":
         stage_step4()
     if "ilv" in STAGES:
         stage_ilv()
+    if "split4" in STAGES:
+        stage_split4()
     if "trace" in STAGES:
         stage_trace()
     if "tracked" in STAGES:
