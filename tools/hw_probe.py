@@ -345,6 +345,79 @@ def stage_split4(reps: int = 14):
         f"tx+rx sum {(dt_tx + dt_rx) * 1e3:.1f} ms")
 
 
+def stage_donate4(reps: int = 14):
+    """Does donation serialize the axon pipeline?  Combined-loop timing for
+    (a) full donation (bench r4 base), (b) states-only, (c) NO donation —
+    the host appears to block when a donated input's last use is still in
+    flight, costing ~one 27 ms roundtrip per step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.mode import MODE_8K_UK
+    from dvbt_tpu.models import rx as rxm, tx as txm
+    from dvbt_tpu.utils.cplx import czeros
+
+    mode = MODE_8K_UK
+    n_frames, mux = 4, 8
+    tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames,
+                                              fft_impl="matmul")
+    rx, _, _ = rxm.make_receiver(mode, n_frames, metrics="min",
+                                 fft_impl="matmul")
+
+    def tx_reuse(tx_state, packets, iq_scratch):
+        return tx(tx_state, packets)
+
+    pk1 = tsio.make_ts_packets(n_pk)
+    packets = jnp.asarray(np.stack([pk1] * mux))
+    rep_f = lambda s: jax.tree.map(
+        lambda x: jnp.broadcast_to(x, (mux,) + x.shape), s)
+
+    for label, vtx, vrx, scratch in (
+        ("full-donate",
+         jax.jit(jax.vmap(tx_reuse), donate_argnums=(0, 2),
+                 keep_unused=True),
+         jax.jit(jax.vmap(rx), donate_argnums=(0,)), True),
+        ("state-donate",
+         jax.jit(jax.vmap(tx), donate_argnums=(0,)),
+         jax.jit(jax.vmap(rx), donate_argnums=(0,)), False),
+        ("no-donate",
+         jax.jit(jax.vmap(tx)),
+         jax.jit(jax.vmap(rx)), False),
+    ):
+        try:
+            tst = rep_f(txm.init_tx_state(mode))
+            rst = rep_f(rxm.init_rx_state(mode))
+            iq = czeros((mux, n_samp_1))
+
+            def step(tst, rst, iq):
+                if scratch:
+                    tst, iq = vtx(tst, packets, iq)
+                else:
+                    tst, iq = vtx(tst, packets)
+                rst, ts, m = vrx(rst, iq)
+                return tst, rst, iq, ts
+
+            t0 = time.time()
+            tst, rst, iq, ts = step(tst, rst, iq)
+            _ = int(ts.ravel()[0])
+            log(f"donate4[{label}] compile {time.time() - t0:.1f}s")
+            tst, rst, iq, ts = step(tst, rst, iq)
+            _ = int(ts.ravel()[0])
+            t0 = time.time()
+            for _ in range(reps):
+                tst, rst, iq, ts = step(tst, rst, iq)
+            _ = int(ts.ravel()[-1])
+            dt = (time.time() - t0) / reps
+            log(f"donate4[{label}] {dt * 1e3:.1f} ms "
+                f"({mux * n_samp_1 / dt / 1e6:.1f} Msps)")
+        except Exception:
+            log(f"donate4[{label}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+
 def stage_ilv(reps: int = 40):
     """Standalone bit-(de)interleaver matmul A/B at the bench shape:
     bf16 vs int8 MXU operands (VERDICT r3 weak item 4 — these stages run
@@ -473,6 +546,8 @@ if __name__ == "__main__":
         stage_ilv()
     if "split4" in STAGES:
         stage_split4()
+    if "donate4" in STAGES:
+        stage_donate4()
     if "trace" in STAGES:
         stage_trace()
     if "tracked" in STAGES:
