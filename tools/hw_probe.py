@@ -418,6 +418,78 @@ def stage_donate4(reps: int = 14):
             sys.stdout.flush()
 
 
+def stage_shape4():
+    """Bigger super-blocks to amortize the ~25 ms/step dispatch overhead
+    (2 dispatches x ~13 ms tunnel latency): at r3's 450 ms steps this was
+    negligible and FRAMES=8 lost; at r4's 90 ms steps the ratio flipped —
+    re-measure the (frames, mux) grid, plus ONE fused tx+rx single-jit
+    variant (one dispatch/step; compile is long but now cacheable)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.mode import MODE_8K_UK
+    from dvbt_tpu.models import rx as rxm, tx as txm
+
+    mode = MODE_8K_UK
+
+    def run(frames, mux, fused, reps=10):
+        n_frames = mode.frames_per_block * frames
+        tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames,
+                                                  fft_impl="matmul")
+        rx, _, _ = rxm.make_receiver(mode, n_frames, metrics="min",
+                                     fft_impl="matmul")
+        pk1 = tsio.make_ts_packets(n_pk)
+        packets = jnp.asarray(np.stack([pk1] * mux))
+        rep_f = lambda s: jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (mux,) + x.shape), s)
+        tst = rep_f(txm.init_tx_state(mode))
+        rst = rep_f(rxm.init_rx_state(mode))
+        label = f"f{frames}xm{mux}{'-fused' if fused else ''}"
+        if fused:
+            def one(tst, rst, packets):
+                tst, iq = tx(tst, packets)
+                rst, ts, m = rx(rst, iq)
+                return tst, rst, ts
+            prog = jax.jit(jax.vmap(one))
+
+            def step(tst, rst):
+                tst, rst, ts = prog(tst, rst, packets)
+                return tst, rst, ts
+        else:
+            vtx = jax.jit(jax.vmap(tx), donate_argnums=(0,))
+            vrx = jax.jit(jax.vmap(rx), donate_argnums=(0,))
+
+            def step(tst, rst):
+                tst, iq = vtx(tst, packets)
+                rst, ts, m = vrx(rst, iq)
+                return tst, rst, ts
+
+        t0 = time.time()
+        tst, rst, ts = step(tst, rst)
+        _ = int(ts.ravel()[0])
+        log(f"shape4[{label}] compile {time.time() - t0:.1f}s")
+        tst, rst, ts = step(tst, rst)
+        _ = int(ts.ravel()[0])
+        t0 = time.time()
+        for _ in range(reps):
+            tst, rst, ts = step(tst, rst)
+        _ = int(ts.ravel()[-1])
+        dt = (time.time() - t0) / reps
+        msps = mux * n_samp_1 / dt / 1e6
+        log(f"shape4[{label}] {dt * 1e3:.1f} ms ({msps:.1f} Msps)")
+
+    for frames, mux, fused in ((8, 8, False), (4, 16, False),
+                               (8, 16, False), (4, 8, True)):
+        try:
+            run(frames, mux, fused)
+        except Exception:
+            log(f"shape4[f{frames}xm{mux} fused={fused}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+
 def stage_ilv(reps: int = 40):
     """Standalone bit-(de)interleaver matmul A/B at the bench shape:
     bf16 vs int8 MXU operands (VERDICT r3 weak item 4 — these stages run
@@ -548,6 +620,8 @@ if __name__ == "__main__":
         stage_split4()
     if "donate4" in STAGES:
         stage_donate4()
+    if "shape4" in STAGES:
+        stage_shape4()
     if "trace" in STAGES:
         stage_trace()
     if "tracked" in STAGES:
