@@ -442,6 +442,26 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                          dtype=jnp.int32)
             return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
 
+        # "mxupack": route the per-step decision packing through the MXU
+        # (otherwise idle in this kernel) instead of two 32-sublane VPU
+        # reduce trees: one (8,64)@(64,128) bf16 matmul turns the 0/1
+        # decision plane into 8 byte-planes (values <= 255, exact in f32),
+        # and six (1,128) shift/ors assemble the two uint32 words.  The
+        # matmul depends only on dec(k) — Mosaic can overlap it with the
+        # next step's VPU ACS.
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
+        WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
+              ).astype(jnp.bfloat16)                  # (8, 64) byte weights
+
+        def mxupack(dec):
+            P = jnp.dot(WT, dec.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            b = P.astype(jnp.int32)                   # (8, 128) bytes
+            w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
+            w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
+            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
         def fwd_iter(wi, pm):
             rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
             words = []
@@ -449,18 +469,33 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                 bm0, bm1 = branch_metrics(rows, wi, k)
                 ce, co = butterfly(pm)
                 c0, c1 = ce + bm0, co + bm1
-                dec = c1 < c0
                 pm = jnp.minimum(c0, c1)
-                if style == "pack2":
+                if style == "nodec":
+                    continue                  # ACS only: no decisions kept
+                dec = c1 < c0
+                if style in ("pack2", "notb"):
                     words.extend(pack2(dec))
+                elif style == "mxupack":
+                    words.extend(mxupack(dec))
                 else:
                     words.extend(_pack_states(dec, s_u))
-            for j in range(n_words):
-                slab = jnp.concatenate(words[64 * j: 64 * (j + 1)], axis=0)
-                dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
+            if style != "nodec":
+                for j in range(n_words):
+                    slab = jnp.concatenate(words[64 * j: 64 * (j + 1)],
+                                           axis=0)
+                    dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
             return pm
 
         pm_fin = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
+
+        if style in ("notb", "nodec"):
+            # DIAGNOSTIC styles (not bit-correct decoders): measure the
+            # forward pass without the traceback ("notb") or additionally
+            # without decision packing ("nodec") — output is a cheap
+            # pm-derived byte plane so the fwd loop cannot be DCE'd.
+            out_ref[...] = jnp.broadcast_to(
+                pm_fin[0:1].astype(jnp.uint8), (L8, LANES))
+            return
 
     # traceback (reverse), packing 8 decoded bits per BYTE row (MSB-first).
     # 64 steps (2 slab words) per iteration so the uint8 output store is
@@ -587,7 +622,8 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
     """
     if style is None:
         style = _ENV_STYLE
-    assert style in ("pack", "pack2", "regx", "i16"), style
+    assert style in ("pack", "pack2", "mxupack", "regx", "i16",
+                     "notb", "nodec"), style   # notb/nodec: diagnostics only
     n_slabs = 2 if style == "regx" else 1
     period, keep, rank = _pattern(rate)
     body, ov = punct_geometry(n_bits, rate,

@@ -167,7 +167,9 @@ def stage_vit4(reps: int = 30):
     rng = np.random.default_rng(0)
     coded = jnp.asarray(rng.integers(0, 16, (mux, n_c), dtype=np.uint8))
     ref = None
-    for style in ("pack", "i16"):
+    styles = tuple(os.environ.get(
+        "DVBT_VIT4_STYLES", "pack,mxupack,notb,nodec").split(","))
+    for style in styles:
         try:
             dec = viterbi_pallas.make_viterbi_decoder_punctured(
                 n_bits, rate, overlap=ov, style=style)
@@ -181,7 +183,7 @@ def stage_vit4(reps: int = 30):
             log(f"vit4[{style}] compile {time.time() - t0:.1f}s")
             if ref is None:
                 ref = np.asarray(out)
-            else:
+            elif style not in ("notb", "nodec"):   # diagnostics: no parity
                 log(f"vit4[{style}] on-hw parity vs pack: "
                     f"{bool(np.array_equal(np.asarray(out), ref))}")
             st, out = vdec(st, coded)
