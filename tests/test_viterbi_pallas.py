@@ -86,7 +86,8 @@ def _encode_punctured(bits, rate, n_bits):
     return np.asarray(coded, np.uint8) * 15
 
 
-@pytest.mark.parametrize("style", ["pack", "pack2", "regx", "i16"])
+@pytest.mark.parametrize("style", ["pack", "pack2", "regx", "i16",
+                                   "mxupack"])
 @pytest.mark.parametrize("rate,flips", [
     ("1/2", 0), ("2/3", 40), ("3/4", 24), ("5/6", 12), ("7/8", 8),
 ])
