@@ -494,7 +494,7 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
             # without decision packing ("nodec") — output is a cheap
             # pm-derived byte plane so the fwd loop cannot be DCE'd.
             out_ref[...] = jnp.broadcast_to(
-                pm_fin[0:1].astype(jnp.uint8), (L8, LANES))
+                pm_fin[0:1].astype(jnp.uint8), (L // 8, LANES))
             return
 
     # traceback (reverse), packing 8 decoded bits per BYTE row (MSB-first).
@@ -570,7 +570,10 @@ def punct_geometry(n_bits: int, rate: str, body: int | None = None,
 # same call site — ADVICE r3).
 import os as _os  # noqa: E402
 
-_ENV_STYLE = _os.environ.get("DVBT_VIT_STYLE", "pack")
+# default "mxupack": MXU-offloaded decision packing, measured 1.15x the
+# r3 "pack" winner on-chip (31.7 -> 27.5 ms at the bench shape, 1.92
+# Gbit/s) and bit-exact vs pack on hardware
+_ENV_STYLE = _os.environ.get("DVBT_VIT_STYLE", "mxupack")
 
 VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MiB scoped-vmem limit
 
