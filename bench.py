@@ -305,11 +305,22 @@ def main():
     iters = min(max(3, int(target_s / t1)), 2000)
     log(f"bench: single step {t1*1e3:.2f} ms -> {iters} iters")
 
+    # keep the tunnel's execution queue SHALLOW: enqueueing ~85 steps
+    # back-to-back collapsed throughput ~30x on this backend (r4 measured
+    # 2.9 s/step vs 90 ms at queue depth <= 14) — fetch a scalar every few
+    # steps so at most `chunk` executions are ever in flight (the fetch
+    # costs one ~27 ms roundtrip per chunk, ~4% at the bench shape)
+    chunk = int(os.environ.get("DVBT_BENCH_QUEUE", "8"))
     t0 = time.time()
-    for _ in range(iters):
-        tst, rst, iq, ts, bad = step(tst, rst, iq, packets)
-    # force a real device->host roundtrip so remote backends can't fake
-    # completion through block_until_ready
+    done = 0
+    while done < iters:
+        n = min(chunk, iters - done)
+        for _ in range(n):
+            tst, rst, iq, ts, bad = step(tst, rst, iq, packets)
+        # real device->host roundtrip: remote backends can't fake
+        # completion through block_until_ready
+        _ = int(ts.ravel()[-1])
+        done += n
     n_bad = int(jnp.sum(bad))
     _ = int(ts.ravel()[-1])
     elapsed = time.time() - t0
