@@ -35,14 +35,15 @@ MUX = int(os.environ.get("MUX", "8"))
 REPS = int(os.environ.get("REPS", "20"))
 TRACE = os.environ.get("TRACE", "")
 
-n_frames = mode.frames_per_block
-n_packets = mode.packets_per_block
+FRAMES_X = int(os.environ.get("FRAMES", "1"))
+n_frames = mode.frames_per_block * FRAMES_X
+n_packets = mode.packets_per_block * FRAMES_X
 n_bytes = n_packets * RS_PACKET
 n_info_bits = n_bytes * 8
 slots = mode.n_payload
 
 # --- stage functions: the SAME factories models/{tx,rx}.py compose ---------
-hp_pipe, _ = _make_stream_pipeline(mode, "hp", 1)
+hp_pipe, _ = _make_stream_pipeline(mode, "hp", FRAMES_X)
 bit_ilv = bit_interleaver.make_bit_interleaver(mode)
 qmap = mapper.make_mapper(mode)
 builder = reference_signals.make_frame_builder(mode)
