@@ -540,6 +540,51 @@ def stage_ilv(reps: int = 40):
             sys.stdout.flush()
 
 
+def stage_rs4(reps: int = 30):
+    """RS decoder scaling probe: 13.7 ms at the 4-frame shape vs 1.8 at
+    1-frame (superlinear, measured r4) — time full-batch vs lax.map
+    chunked decodes to find the right grain."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.ops import reed_solomon
+
+    rs_dec = reed_solomon.make_rs_decoder()
+    rng = np.random.default_rng(0)
+    P4 = 1008 * 4
+    cw4 = jnp.asarray(rng.integers(0, 256, (8, P4, 204), dtype=np.uint8))
+    cw1 = cw4[:, :1008]
+
+    def timed(label, f, arg):
+        try:
+            t0 = time.time()
+            out = f(arg)
+            _ = int(jax.tree.leaves(out)[0].ravel()[0])
+            log(f"rs4[{label}] compile {time.time() - t0:.1f}s")
+            f(arg)
+            t0 = time.time()
+            for _ in range(reps):
+                out = f(arg)
+            _ = int(jax.tree.leaves(out)[0].ravel()[0])
+            log(f"rs4[{label}] {1e3 * (time.time() - t0) / reps:.2f} ms")
+        except Exception:
+            log(f"rs4[{label}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+    timed("1frame", jax.jit(lambda c: rs_dec(c)), cw1)
+    timed("4frame", jax.jit(lambda c: rs_dec(c)), cw4)
+    for n in (2, 4, 8):
+        def chunked(c, n=n):
+            ck = jnp.moveaxis(c.reshape(c.shape[0], n, P4 // n, 204), 1, 0)
+            msg, corr, bad = jax.lax.map(rs_dec, ck)
+            return (jnp.moveaxis(msg, 0, 1).reshape(c.shape[0], P4, 188),
+                    jnp.moveaxis(corr, 0, 1).reshape(c.shape[0], P4),
+                    jnp.moveaxis(bad, 0, 1).reshape(c.shape[0], P4))
+        timed(f"4frame-map{n}", jax.jit(chunked), cw4)
+
+
 def stage_trace():
     """Try to capture a real profiler trace of one fused step (VERDICT r3
     item 3).  On the axon tunnel this may not be supported — record the
@@ -624,6 +669,8 @@ if __name__ == "__main__":
         stage_donate4()
     if "shape4" in STAGES:
         stage_shape4()
+    if "rs4" in STAGES:
+        stage_rs4()
     if "trace" in STAGES:
         stage_trace()
     if "tracked" in STAGES:
