@@ -108,6 +108,25 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
 
     out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
     rs_dec = reed_solomon.make_rs_decoder()
+    # RS decode in ~512-codeword chunks via lax.map: one full-batch decode
+    # anti-scales on TPU (measured r4: 15.7 ms for 4032 packets x mux 8 vs
+    # 6.6 ms mapped in 8 chunks — the bit-sliced BM intermediates blow the
+    # fusion/VMEM sweet spot at large batch)
+    n_rs_chunks = 1
+    for n in range(1, n_packets + 1):
+        if n_packets % n == 0 and n_packets // n <= 512:
+            n_rs_chunks = n
+            break
+
+    def rs_decode(packets204):
+        if n_rs_chunks == 1:
+            return rs_dec(packets204)
+        ck = packets204.reshape(n_rs_chunks, n_packets // n_rs_chunks,
+                                RS_PACKET)
+        msg, corr, bad = jax.lax.map(rs_dec, ck)
+        return (msg.reshape(n_packets, -1),
+                corr.reshape(n_packets), bad.reshape(n_packets))
+
     descramble = energy.make_energy_dispersal(n_packets)
     if measure_pre_rs:
         rs_reenc = reed_solomon.make_rs_encoder()
@@ -119,7 +138,7 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
             tail, deinterleaved = out_dilv(state["deint_tail"], stream_bytes)
         packets204 = deinterleaved.reshape(n_packets, RS_PACKET)
         with jax.named_scope("rs_decode"):
-            msg, rs_corr, rs_bad = rs_dec(packets204)
+            msg, rs_corr, rs_bad = rs_decode(packets204)
         detected = energy.detect_dispersal_phase(msg)
         phase = jnp.where(state["descr_locked"], state["descr_phase"],
                           detected)
