@@ -38,6 +38,10 @@ import os as _os
 # (two-stage Cooley-Tukey as MXU matmuls, below).  Resolved once at import;
 # A/B-measured on hardware before changing the default.
 FFT_IMPL = _os.environ.get("DVBT_FFT", "jnp")
+# MXU f32 emulation passes for the matmul FFT: "highest" (6-pass, ~f32
+# round-off) or "high" (3-pass bf16, relative error ~2^-21 — still orders
+# of magnitude below any hard-decision margin).
+FFT_PRECISION = _os.environ.get("DVBT_FFT_PRECISION", "highest")
 
 
 def make_matmul_fft(n: int, inverse: bool = False):
@@ -63,14 +67,17 @@ def make_matmul_fft(n: int, inverse: bool = False):
     tw = (np.exp(sign * np.outer(k1, k2) / n)
           / np.sqrt(n)).astype(np.complex64)     # fold in the ortho scale
 
+    prec = (jax.lax.Precision.HIGHEST if FFT_PRECISION == "highest"
+            else jax.lax.Precision.HIGH)
+
     def fft(x: jnp.ndarray) -> jnp.ndarray:
         *b, n_ = x.shape
         A = x.reshape(*b, n1, n2)
         Y = jnp.einsum("...nm,nk->...km", A, jnp.asarray(F1),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
         Y = Y * jnp.asarray(tw)
         O = jnp.einsum("...km,mj->...kj", Y, jnp.asarray(F2),
-                       precision=jax.lax.Precision.HIGHEST)
+                       precision=prec)
         return jnp.moveaxis(O, -2, -1).reshape(*b, n).astype(jnp.complex64)
 
     return fft
