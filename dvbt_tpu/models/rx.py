@@ -281,9 +281,17 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
                 jnp.sum(jnp.abs(p_hat) ** 2)
                 / jnp.maximum(jnp.sum(jnp.abs(err) ** 2), 1e-12))
         if demap == "soft":
-            # per-bit max-log metrics, permuted like the cells (v rides a
+            # per-bit max-log metrics, CSI-weighted by |H|^2 (noise after
+            # zero-forcing is amplified 1/|H|^2, so faded carriers must
+            # speak softly — without this the soft chain loses to hard on
+            # Rayleigh profiles), permuted like the cells (v rides a
             # leading batch axis through the row-take)
-            sm = jnp.moveaxis(soft_demap(X), -1, 1)    # (F, v, 68, K)
+            if equalize:
+                csi = jnp.abs(H) ** 2
+                csi = csi / jnp.mean(csi, axis=-1, keepdims=True)
+            else:
+                csi = None
+            sm = jnp.moveaxis(soft_demap(X, csi), -1, 1)   # (F, v, 68, K)
             sm = jnp.moveaxis(cell_dilv(sm), 1, -1)    # (F, 68, C, v)
             bits = soft_bit_dilv(sm)                   # (F, 68, C*v) 0..15
         else:

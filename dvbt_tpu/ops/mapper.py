@@ -68,13 +68,23 @@ def make_mapper(mode: DvbtMode):
 
 
 def make_soft_demapper(mode: DvbtMode):
-    """Max-log-MAP per-bit soft demapper, 4-bit quantized.
+    """Max-log-MAP per-bit soft demapper, 4-bit quantized, CSI-weighted.
 
-    Returns soft_demap(y): complex64 (...,) -> uint8 (..., v) soft metrics
-    in [0, 15] (7/8 = erasure, 15 = confident 1) scaled so a clean hard
-    decision saturates.  This is the beyond-parity option of SURVEY.md §7
-    hard part 6 (the reference chain is hard-decision only); feeding these
-    to the soft Viterbi buys ~2 dB over the hard chain.
+    Returns soft_demap(y, csi=None): complex64 (...,) -> uint8 (..., v)
+    soft metrics in [0, 15] (7/8 = erasure, 15 = confident 1) scaled so a
+    clean hard decision saturates.  ``csi`` (optional, broadcastable
+    float32) scales the LLRs BEFORE quantization: after zero-forcing
+    equalization the noise on carrier k is amplified by 1/|H(k)|², so the
+    true LLR is the equalized-domain one times |H(k)|² — without this
+    weighting, faded carriers produce confident-wrong metrics and the
+    soft chain measured ~1 dB WORSE than hard on the Rayleigh P1 profile
+    (round 4).  csi=None (or 1) reproduces the unweighted metrics
+    bit-exactly, so flat-channel byte-exactness is untouched.
+
+    This is the beyond-parity option of SURVEY.md §7 hard part 6 (the
+    reference chain is hard-decision only); feeding these to the soft
+    Viterbi buys ~2 dB over the hard chain on AWGN and keeps a clear
+    margin on fading profiles.
     """
     c = mode.constellation_table().astype(np.complex64)
     v = mode.v
@@ -87,7 +97,8 @@ def make_soft_demapper(mode: DvbtMode):
     bit_is1 = [((np.arange(1 << v) >> (v - 1 - b)) & 1).astype(bool)
                for b in range(v)]
 
-    def soft_demap(y: jnp.ndarray) -> jnp.ndarray:
+    def soft_demap(y: jnp.ndarray, csi: jnp.ndarray | None = None
+                   ) -> jnp.ndarray:
         yr = jnp.stack([y.real, y.imag], axis=-1).astype(jnp.float32)
         # score_c = 2*Re(y conj(c)) - |c|^2 = |y|^2 - |y - c|^2
         score = jnp.dot(yr, pts, preferred_element_type=jnp.float32) \
@@ -97,11 +108,13 @@ def make_soft_demapper(mode: DvbtMode):
             m1 = jnp.max(jnp.where(bit_is1[b], score, -jnp.inf), axis=-1)
             m0 = jnp.max(jnp.where(bit_is1[b], -jnp.inf, score), axis=-1)
             llr = m1 - m0  # = d0^2 - d1^2
+            if csi is not None:
+                llr = llr * csi
             s = jnp.clip(jnp.round(7.5 + 7.5 * llr / dmin2), 0.0, 15.0)
             outs.append(s.astype(jnp.uint8))
         return jnp.stack(outs, axis=-1)                    # (..., v)
 
-    return jax.jit(soft_demap)
+    return jax.jit(soft_demap, static_argnames=())
 
 
 def make_demapper(mode: DvbtMode):

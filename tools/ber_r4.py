@@ -38,7 +38,7 @@ CURVES = [
     ("2k_qpsk_12_p1_hard", MODE_2K_QPSK, "hard", "P1",
      [5, 6, 7, 8, 9, 10, 12, 14], 8),
     ("2k_qpsk_12_p1_soft", MODE_2K_QPSK, "soft", "P1",
-     [4, 5, 6, 7, 8, 10], 8),
+     [4, 5, 6, 7, 8, 10], 8),   # CSI-weighted: QEF ~<8 dB
     ("8k_64qam_23_f1_hard", MODE_8K_UK, "hard", "F1",
      [17, 18, 19, 20, 21, 22], 4),
     ("8k_64qam_23_f1_soft", MODE_8K_UK, "soft", "F1",
@@ -46,7 +46,7 @@ CURVES = [
     ("8k_64qam_23_p1_hard", MODE_8K_UK, "hard", "P1",
      [19, 20, 21, 22, 23, 24, 26], 4),
     ("8k_64qam_23_p1_soft", MODE_8K_UK, "soft", "P1",
-     [17, 18, 19, 20, 21, 22], 4),
+     [17, 18, 19, 20, 21, 22], 4),  # CSI-weighted
     ("2k_16qam_34_hard", MODE_16QAM_34, "hard", None,
      [11, 12, 13, 14, 15, 16, 17], 8),
     ("2k_16qam_34_soft", MODE_16QAM_34, "soft", None,
