@@ -112,7 +112,9 @@ def tracked_bench(mode, n_blocks: int = 12) -> dict:
         iq = channel.apply_cfo(iq, 0.31, mode.fft_len, phase0=phase0)
         blocks.append(tsio.device_get_complex(iq))
 
-    srx = StreamingReceiver(mode, n_frames, pipeline=4)
+    srx = StreamingReceiver(mode, n_frames, pipeline=4,
+                            metrics=os.environ.get("DVBT_BENCH_METRICS",
+                                                   "min"))
     # warmup: compiles sync + track + rx programs, acquires lock (the
     # acquisition search needs ~2 blocks of capture before the first report).
     # Bounded so a sync regression reports tracked_locked=false instead of

@@ -64,7 +64,8 @@ class StreamingReceiver:
                  max_int_cfo: int = syncop.DEFAULT_MAX_INT_CFO,
                  relock_threshold: float = 0.5,
                  sco_tracking: bool = True,
-                 pipeline: int = 0):
+                 pipeline: int = 0,
+                 metrics: str = "full"):
         self.mode = mode
         if n_frames is None:
             n_frames = mode.frames_per_block
@@ -74,7 +75,11 @@ class StreamingReceiver:
         self.capture_samples = syncop.min_capture_samples(mode, n_frames)
         self.sync = syncop.make_synchronizer(
             mode, self.capture_samples, n_frames, max_int_cfo=max_int_cfo)
-        rx, self.n_packets, _ = rxm.make_receiver(mode, n_frames)
+        # metrics="min" drops the TPS/MER observability stages from the
+        # compiled decode (the lock/SCO FSM only consumes rs_* and
+        # timing_tau) — the deployable-throughput configuration
+        rx, self.n_packets, _ = rxm.make_receiver(mode, n_frames,
+                                                  metrics=metrics)
         self.rx = rx
         # ONE fused locked-path program: float-pair assembly (complex64 H2D
         # is unimplemented on some backends), continuous-NCO derotation with
