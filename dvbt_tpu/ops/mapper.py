@@ -114,7 +114,7 @@ def make_soft_demapper(mode: DvbtMode):
             outs.append(s.astype(jnp.uint8))
         return jnp.stack(outs, axis=-1)                    # (..., v)
 
-    return jax.jit(soft_demap, static_argnames=())
+    return jax.jit(soft_demap)
 
 
 def make_demapper(mode: DvbtMode):
