@@ -159,7 +159,20 @@ def rx_bytes(iq):
 
 def rx_rs(iq):
     p204 = rx_bytes(iq).reshape(n_packets, RS_PACKET)
-    msg, c, bad = rs_dec(p204)
+    # ~512-codeword lax.map chunks, matching models/rx.py (a full-batch
+    # decode anti-scales: 13.7 vs 6.6 ms at the 4-frame shape)
+    n_ck = 1
+    for n in range(1, n_packets + 1):
+        if n_packets % n == 0 and n_packets // n <= 512:
+            n_ck = n
+            break
+    if n_ck == 1:
+        msg, c, bad = rs_dec(p204)
+    else:
+        msg, c, bad = jax.lax.map(
+            rs_dec, p204.reshape(n_ck, n_packets // n_ck, RS_PACKET))
+        msg = msg.reshape(n_packets, -1)
+        bad = bad.reshape(n_packets)
     return msg, bad
 
 

@@ -19,9 +19,17 @@ DOCS = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "docs")
 
 POINTS = [
-    # (mode ctor args, snr_db, blocks, jsonl file the CPU curve lives in)
-    (("2k", "qpsk", "1/2", "1/32"), 5.0, 8, "ber_2k_qpsk_12_hard.jsonl"),
-    (("8k", "64qam", "2/3", "1/32"), 19.0, 4, "ber_8k_64qam_23_hard.jsonl"),
+    # (mode ctor args, snr_db, blocks, demap, profile, jsonl file the CPU
+    #  curve lives in)
+    (("2k", "qpsk", "1/2", "1/32"), 5.0, 8, "hard", None,
+     "ber_2k_qpsk_12_hard.jsonl"),
+    (("8k", "64qam", "2/3", "1/32"), 19.0, 4, "hard", None,
+     "ber_8k_64qam_23_hard.jsonl"),
+    # round-4 paths: Annex B multipath + CSI-weighted soft, on-device
+    (("2k", "qpsk", "1/2", "1/32"), 7.0, 8, "hard", "F1",
+     "ber_2k_qpsk_12_f1_hard.jsonl"),
+    (("2k", "qpsk", "1/2", "1/32"), 8.0, 8, "soft", "P1",
+     "ber_2k_qpsk_12_p1_soft.jsonl"),
 ]
 
 
@@ -29,11 +37,12 @@ def main():
     from dvbt_tpu.apps.ber_sweep import run_point
     from dvbt_tpu.mode import DvbtMode
 
-    for args, snr, blocks, fname in POINTS:
+    for args, snr, blocks, demap, profile, fname in POINTS:
         mode = DvbtMode(*args)
         t0 = time.time()
-        r = {**run_point(mode, snr, blocks, seed=0, demap="hard"),
-             "demap": "hard"}
+        r = {**run_point(mode, snr, blocks, seed=0, demap=demap,
+                         profile=profile),
+             "demap": demap, "profile": profile or "none"}
         r["wall_s"] = round(time.time() - t0, 1)
         line = json.dumps(r)
         print(f"{fname}: {line}", flush=True)
