@@ -119,4 +119,7 @@ def annex_b_taps(profile: str, sample_rate_hz: float = 64e6 / 7):
         # Ricean factor K = 10 dB: direct-ray power = 10 * echo power
         taps[0] += np.sqrt(10.0 * np.sum(rho ** 2))
     taps /= np.sqrt(np.sum(np.abs(taps) ** 2))
-    return jnp.asarray(taps.astype(np.complex64))
+    # assemble on device from float parts: eager complex64 host->device
+    # transfers are UNIMPLEMENTED on the axon TPU backend
+    return jax.lax.complex(jnp.asarray(taps.real.astype(np.float32)),
+                           jnp.asarray(taps.imag.astype(np.float32)))
