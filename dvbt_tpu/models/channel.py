@@ -43,7 +43,13 @@ def apply_delay(iq: jnp.ndarray, delay: int) -> jnp.ndarray:
     """Prepend `delay` zero samples (timing offset), keeping length."""
     if delay == 0:
         return iq
-    pad = jnp.zeros(iq.shape[:-1] + (delay,), iq.dtype)
+    from ..utils.cplx import czeros
+    shape = iq.shape[:-1] + (delay,)
+    # device-side complex zeros: the eager complex64 jnp.zeros is
+    # UNIMPLEMENTED on the axon backend (it killed the on-device
+    # multipath BER points in round 4)
+    pad = (czeros(shape) if iq.dtype == jnp.complex64
+           else jnp.zeros(shape, iq.dtype))
     return jnp.concatenate([pad, iq], axis=-1)[..., : iq.shape[-1]]
 
 
@@ -67,8 +73,8 @@ def resample_ppm(iq, ppm: float):
 
 def multipath(iq: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     """Static FIR multipath (taps complex, tap 0 = line of sight)."""
-    out = jnp.zeros_like(iq)
-    for d in range(taps.shape[0]):
+    out = taps[0] * iq
+    for d in range(1, taps.shape[0]):
         out = out + taps[d] * apply_delay(iq, d)
     return out.astype(jnp.complex64)
 
