@@ -304,3 +304,23 @@ def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha):
     got_soft = np.asarray(
         bit_interleaver.make_soft_bit_deinterleaver(mode)(jnp.asarray(soft)))
     assert np.array_equal(got_soft, want_soft)
+
+
+def test_soft_demapper_csi_weighting():
+    """csi=None == csi=1 (flat channels bit-identical); a small csi must
+    pull metrics toward the 7/8 erasure midpoint (ADVICE-proofing the
+    round-4 CSI-weighted soft path)."""
+    mode = DvbtMode("2k", "16qam", "1/2")
+    sd = mapper.make_soft_demapper(mode)
+    rng = np.random.default_rng(5)
+    y = (rng.standard_normal(256) + 1j * rng.standard_normal(256)
+         ).astype(np.complex64) * 0.7
+    base = np.asarray(sd(jnp.asarray(y)))
+    ones = np.asarray(sd(jnp.asarray(y), jnp.ones(y.shape, jnp.float32)))
+    assert np.array_equal(base, ones)
+    damped = np.asarray(sd(jnp.asarray(y),
+                           jnp.full(y.shape, 0.05, jnp.float32)))
+    # damped metrics sit strictly closer to the erasure band
+    assert np.abs(damped.astype(int) - 7.5).mean() < \
+        np.abs(base.astype(int) - 7.5).mean()
+    assert damped.min() >= 0 and damped.max() <= 15
