@@ -296,7 +296,11 @@ def main():
     _ = int(ts.ravel()[0])
     compile_s = time.time() - t0
     log(f"bench: compiled in {compile_s:.1f}s")
-    tst, rst, iq, ts, bad = step(tst, rst, iq, packets)
+    # the first ~15 executions in a process run up to ~40% slow on this
+    # backend (measured r4: 109 ms -> 79 ms for the same program within
+    # one process) — burn through the warmup before calibrating
+    for _ in range(int(os.environ.get("DVBT_BENCH_WARMUP", "15"))):
+        tst, rst, iq, ts, bad = step(tst, rst, iq, packets)
     _ = int(ts.ravel()[0])
 
     # calibrate (scalar fetch = true roundtrip, not just block_until_ready)
