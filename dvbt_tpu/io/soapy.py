@@ -8,9 +8,10 @@ Design: a three-layer split so the seam is testable without hardware —
      protocols (io/source.py) over an abstract *device* with
      ``read(n) -> complex64`` / ``write(samples)`` / ``close()``.
   2. `_CtypesDevice` binds that device interface to the SoapySDR **C API**
-     via ctypes (no pybind11 in this image; the C ABI is stable across
-     SoapySDR 0.7/0.8).  It is only constructed when ``libSoapySDR.so``
-     is present on the host.
+     via ctypes (no pybind11 in this image; signatures follow the
+     SoapySDR >= 0.8 C ABI, where setupStream returns the stream
+     handle).  It is only constructed when ``libSoapySDR.so`` is present
+     on the host.
   3. Tests inject a mock device (tests/test_apps.py) — the protocol,
      URL parsing, chunking and EOS behavior are exercised without any
      driver.
@@ -99,6 +100,17 @@ class _CtypesDevice:
             ctypes.c_void_p, ctypes.c_void_p,
             ctypes.POINTER(ctypes.c_void_p), ctypes.c_size_t,
             ctypes.POINTER(ctypes.c_int), ctypes.c_longlong, ctypes.c_long]
+        # teardown signatures too — an unconfigured ctypes call passes
+        # pointers as 32-bit C ints (truncation on 64-bit hosts)
+        L.SoapySDRDevice_deactivateStream.restype = ctypes.c_int
+        L.SoapySDRDevice_deactivateStream.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_longlong]
+        L.SoapySDRDevice_closeStream.restype = ctypes.c_int
+        L.SoapySDRDevice_closeStream.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p]
+        L.SoapySDRDevice_unmake.restype = ctypes.c_int
+        L.SoapySDRDevice_unmake.argtypes = [ctypes.c_void_p]
 
         dev_args = ",".join(f"{k}={v}" for k, v in args.items()
                             if k not in ("rate", "freq", "gain", "channel"))
