@@ -103,12 +103,15 @@ def make_tx_state_from_halo(mode: DvbtMode):
     return recompute
 
 
-def make_rx_state_from_halo(mode: DvbtMode):
+def make_rx_state_from_halo(mode: DvbtMode, demap: str = "hard"):
     """f(block_idx, halo_iq (H * symbol_len,)) -> RX carried-state pytree
     equal to the streaming receiver's state entering that block.
 
     halo_iq are the LAST H symbol periods of the previous block (symbol-
     aligned, equalizable); block_idx = 0 means stream start (zero state).
+    ``demap`` must match the receiver the state feeds: the halo decode
+    reproduces the streaming chain bit-for-bit, including the CSI-weighted
+    soft metrics when demap="soft".
     """
     H = rx_halo_symbols(mode)
     Hd = H - CHAN_WARMUP          # symbols actually decoded for byte state
@@ -117,11 +120,15 @@ def make_rx_state_from_halo(mode: DvbtMode):
     n_info = Hd * _info_bits_per_symbol(mode)
     ov = viterbi.effective_overlap(mode.code_rate)
 
+    assert demap in ("hard", "soft"), demap
     bins = ofdm._bin_map(mode)
     chan_est = reference_signals.make_time_channel_estimator(mode)
     cell_dilv = reference_signals.make_cell_deinterleaver(mode)
     qdemap = mapper.make_demapper(mode)
     bit_dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    if demap == "soft":
+        soft_demap = mapper.make_soft_demapper(mode)
+        soft_bit_dilv = bit_interleaver.make_soft_bit_deinterleaver(mode)
     depunct = inner_coder.make_depuncture(n_info, mode.code_rate)
     vit = viterbi.make_viterbi_decoder(n_info, body=min(1024, n_info),
                                        overlap=ov)
@@ -148,10 +155,22 @@ def make_rx_state_from_halo(mode: DvbtMode):
         tail0, _ = reference_signals.init_time_channel_state(mode)
         chan_tail, Hh = chan_est(tail0, jnp.asarray(False), board)
         X = board / Hh
-        cells = cell_dilv(qdemap(X))                  # (68, n_payload)
-        cells = jax.lax.dynamic_slice(
-            cells, (first_sym + CHAN_WARMUP, 0), (Hd, mode.n_payload))
-        bits = bit_dilv(cells).reshape(-1) * np.uint8(15)  # hard -> {0,15}
+        if demap == "soft":
+            # CSI-weighted metrics, exactly as models/rx.py computes them
+            csi = jnp.abs(Hh) ** 2
+            csi = csi / jnp.mean(csi, axis=-1, keepdims=True)
+            sm = jnp.moveaxis(soft_demap(X, csi), -1, 0)   # (v, 68, K)
+            sm = jnp.moveaxis(cell_dilv(sm), 0, -1)        # (68, C, v)
+            board_bits = soft_bit_dilv(sm)                 # (68, C*v) 0..15
+            board_bits = jax.lax.dynamic_slice(
+                board_bits, (first_sym + CHAN_WARMUP, 0),
+                (Hd, board_bits.shape[-1]))
+            bits = board_bits.reshape(-1)
+        else:
+            cells = cell_dilv(qdemap(X))              # (68, n_payload)
+            cells = jax.lax.dynamic_slice(
+                cells, (first_sym + CHAN_WARMUP, 0), (Hd, mode.n_payload))
+            bits = bit_dilv(cells).reshape(-1) * np.uint8(15)  # -> {0,15}
         x, y, xm, ym = depunct(bits)
         xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
         ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
@@ -180,7 +199,8 @@ def make_rx_state_from_halo(mode: DvbtMode):
 
 
 def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
-                               halo: str = "ppermute"):
+                               halo: str = "ppermute",
+                               demap: str = "hard"):
     """Returns (step, n_pk_blk, carry0).
 
     step(carry, packets (D*P, 188) sharded over 'time')
@@ -191,7 +211,9 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
     explicit Pallas RDMA ring (`halo="ring"`; `"ring-interpret"` runs the
     same kernel in TPU interpret mode, the CPU-mesh CI path).  carry holds
     the host-side tail of the previous step for device 0 plus the global
-    step count.
+    step count.  ``demap`` ("hard"/"soft") applies to both the receiver
+    and the halo state recompute, so the soft chain is byte-identical to
+    single-chip streaming too.
     """
     assert halo in ("ppermute", "ring", "ring-interpret")
     if mode.hierarchical:
@@ -203,9 +225,9 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
             "shard hierarchical streams over the mux-DP axis instead")
     D = mesh.devices.size
     tx, n_pk, n_samp = txm.make_transmitter(mode)
-    rx, _, _ = rxm.make_receiver(mode)
+    rx, _, _ = rxm.make_receiver(mode, demap=demap)
     tx_state_of = make_tx_state_from_halo(mode)
-    rx_state_of = make_rx_state_from_halo(mode)
+    rx_state_of = make_rx_state_from_halo(mode, demap)
     H = rx_halo_symbols(mode)
     L = mode.symbol_len
     halo_samp = H * L

@@ -14,9 +14,9 @@ from dvbt_tpu.models import rx as rxm, tx as txm
 from dvbt_tpu.parallel import time_sharding as tsh
 
 
-def _streaming_reference(mode, packets, n_blocks, n_pk):
+def _streaming_reference(mode, packets, n_blocks, n_pk, demap="hard"):
     tx, _, _ = txm.make_transmitter(mode)
-    rx, _, _ = rxm.make_receiver(mode)
+    rx, _, _ = rxm.make_receiver(mode, demap=demap)
     tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
     outs = []
     for b in range(n_blocks):
@@ -26,17 +26,21 @@ def _streaming_reference(mode, packets, n_blocks, n_pk):
     return np.concatenate(outs)
 
 
-@pytest.mark.parametrize("mode", [MODE_2K_QPSK,
-                                  DvbtMode("2k", "16qam", "2/3")])
-def test_time_sharded_loopback_matches_streaming(mode):
+@pytest.mark.parametrize("mode,demap", [
+    (MODE_2K_QPSK, "hard"),
+    (DvbtMode("2k", "16qam", "2/3"), "hard"),
+    (MODE_2K_QPSK, "soft"),    # CSI-weighted soft chain, sharded == stream
+])
+def test_time_sharded_loopback_matches_streaming(mode, demap):
     D = 4
     devices = jax.devices()[:D]
     mesh = Mesh(np.asarray(devices), ("time",))
-    step, n_pk, carry = tsh.make_time_sharded_loopback(mode, mesh)
+    step, n_pk, carry = tsh.make_time_sharded_loopback(mode, mesh,
+                                                       demap=demap)
     n_steps = 2
     n_blocks = D * n_steps
     packets = tsio.make_ts_packets(n_pk * n_blocks, seed=5)
-    ref = _streaming_reference(mode, packets, n_blocks, n_pk)
+    ref = _streaming_reference(mode, packets, n_blocks, n_pk, demap)
 
     outs = []
     sh = NamedSharding(mesh, P("time"))
