@@ -85,6 +85,8 @@ n_bytes = n_packets * RS_PACKET
 n_info_bits = n_bytes * 8
 
 demod = ofdm.make_ofdm_demodulator(mode, SYMBOLS_PER_FRAME)
+# standalone freq-only estimator kept here for a stable stage shape; the
+# receiver's default time estimator is profiled in-situ by profile_ablate
 chan_est = reference_signals.make_channel_estimator(mode)
 extract = reference_signals.make_payload_extractor(mode)
 qdemap = mapper.make_demapper(mode)
