@@ -31,6 +31,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 # bench defaults; override with DVBT_FFT=jnp / DVBT_BENCH_METRICS=full.
 os.environ.setdefault("DVBT_FFT", "matmul")
 os.environ.setdefault("DVBT_BENCH_METRICS", "min")
+# int8 MXU interleaver matmuls: +1.2% in-situ (78.7 vs 79.5 ms, exact)
+os.environ.setdefault("DVBT_ILV", "int8")
 
 
 def hw_parity(rate: str = "2/3", n_bits: int = 107520) -> dict:
