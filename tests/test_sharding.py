@@ -17,6 +17,16 @@ def test_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+def test_graft_entry_dryrun_path():
+    """Drive the EXACT driver entry (__graft_entry__.dryrun_multichip) at
+    CI scale: 2K, 4 devices.  Round 4's MULTICHIP artifact regressed with
+    every sharding test green because nothing in the default suite ran the
+    driver's own code path — this guards it (VERDICT r4 item 2)."""
+    import __graft_entry__ as ge
+
+    ge.dryrun_multichip(4, _mode=MODE_2K_QPSK)
+
+
 def test_sharded_loopback_matches_serial():
     mode = MODE_2K_QPSK
     out, fleet = sharding.dryrun(mode, n_devices=4)

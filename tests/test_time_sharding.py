@@ -110,11 +110,11 @@ def test_time_sharded_ring_halo_matches_ppermute_path():
     assert np.array_equal(outs["ppermute"], outs["ring-interpret"])
 
 
-@pytest.mark.slow
 def test_time_sharded_8k_flagship_matches_streaming():
     """The FLAGSHIP 8K 64-QAM 2/3 mode, byte-exact sharded == streaming
     (VERDICT r3 missing item 5: the dryrun executes this mode but CI only
-    proved 2K parity)."""
+    proved 2K parity).  Un-slow-marked in r5 (runs ~31 s): the headline
+    multi-chip correctness claim must ride the default suite."""
     from dvbt_tpu.mode import MODE_8K_UK
     mode = MODE_8K_UK
     D = 4
