@@ -34,6 +34,17 @@ DVBT_RATE = 64e6 / 7
 SOAPY_SDR_TX = 0
 SOAPY_SDR_RX = 1
 
+# SoapySDR error return codes (Errors.h of the C ABI). TIMEOUT and
+# OVERFLOW are recoverable stream conditions — a reader must retry, not
+# treat them as end-of-stream (one RX overflow at 9.14 Msps would
+# otherwise silently terminate live reception).
+SOAPY_SDR_TIMEOUT = -1
+SOAPY_SDR_OVERFLOW = -4
+SOAPY_SDR_UNDERFLOW = -7
+_ERR_NAMES = {-1: "TIMEOUT", -2: "STREAM_ERROR", -3: "CORRUPTION",
+              -4: "OVERFLOW", -5: "NOT_SUPPORTED", -6: "TIME_ERROR",
+              -7: "UNDERFLOW"}
+
 
 def parse_spec(spec: str) -> dict:
     """'scheme://k=v,k=v' -> args dict with scheme-implied driver."""
@@ -120,32 +131,58 @@ class _CtypesDevice:
         self._dir = direction
         ch = int(args.get("channel", "0"))
         self._ch = ch
-        L.SoapySDRDevice_setSampleRate(self._dev, direction, ch,
-                                       float(args["rate"]))
+
+        def check(name, rc):
+            if rc != 0:
+                raise RuntimeError(
+                    f"SoapySDR {name} failed: "
+                    f"{_ERR_NAMES.get(rc, rc)} ({rc})")
+
+        check("setSampleRate", L.SoapySDRDevice_setSampleRate(
+            self._dev, direction, ch, float(args["rate"])))
         if "freq" in args:
-            L.SoapySDRDevice_setFrequency(self._dev, direction, ch,
-                                          float(args["freq"]), None)
+            check("setFrequency", L.SoapySDRDevice_setFrequency(
+                self._dev, direction, ch, float(args["freq"]), None))
         if "gain" in args:
-            L.SoapySDRDevice_setGain(self._dev, direction, ch,
-                                     float(args["gain"]))
+            check("setGain", L.SoapySDRDevice_setGain(
+                self._dev, direction, ch, float(args["gain"])))
         chans = (ctypes.c_size_t * 1)(ch)
         self._stream = L.SoapySDRDevice_setupStream(
             self._dev, direction, b"CF32", chans, 1, None)
         if not self._stream:
             raise RuntimeError("SoapySDR setupStream failed")
-        L.SoapySDRDevice_activateStream(self._dev, self._stream, 0, 0, 0)
+        check("activateStream", L.SoapySDRDevice_activateStream(
+            self._dev, self._stream, 0, 0, 0))
         self._flags = ctypes.c_int(0)
         self._time = ctypes.c_longlong(0)
+
+    # consecutive TIMEOUT retries before giving up (1 s timeout each)
+    READ_RETRIES = 8
 
     def read(self, n: int) -> np.ndarray:
         buf = np.empty(n, np.complex64)
         ptrs = (ctypes.c_void_p * 1)(buf.ctypes.data)
-        got = self._lib.SoapySDRDevice_readStream(
-            self._dev, self._stream, ptrs, n,
-            ctypes.byref(self._flags), ctypes.byref(self._time), 1_000_000)
-        if got < 0:  # SOAPY_SDR_TIMEOUT et al: surface as empty read
-            return np.zeros((0,), np.complex64)
-        return buf[:got]
+        timeouts = 0
+        while True:
+            got = self._lib.SoapySDRDevice_readStream(
+                self._dev, self._stream, ptrs, n,
+                ctypes.byref(self._flags), ctypes.byref(self._time),
+                1_000_000)
+            if got >= 0:
+                return buf[:got]
+            if got == SOAPY_SDR_OVERFLOW:
+                # samples were dropped by the driver; the receiver's
+                # lock-loss FSM re-syncs — just keep reading
+                continue
+            if got == SOAPY_SDR_TIMEOUT:
+                timeouts += 1
+                if timeouts < self.READ_RETRIES:
+                    continue
+                # persistently silent device: report end-of-stream
+                return np.zeros((0,), np.complex64)
+            raise RuntimeError(
+                f"SoapySDR readStream error "
+                f"{_ERR_NAMES.get(got, got)} ({got})")
 
     def write(self, samples: np.ndarray) -> None:
         s = np.ascontiguousarray(samples, np.complex64)
@@ -156,8 +193,12 @@ class _CtypesDevice:
             sent = self._lib.SoapySDRDevice_writeStream(
                 self._dev, self._stream, ptrs, len(chunk),
                 ctypes.byref(self._flags), 0, 1_000_000)
+            if sent in (SOAPY_SDR_TIMEOUT, SOAPY_SDR_UNDERFLOW):
+                continue  # recoverable: retry the same chunk
             if sent <= 0:
-                raise RuntimeError(f"SoapySDR writeStream error {sent}")
+                raise RuntimeError(
+                    f"SoapySDR writeStream error "
+                    f"{_ERR_NAMES.get(sent, sent)} ({sent})")
             pos += sent
 
     def close(self) -> None:

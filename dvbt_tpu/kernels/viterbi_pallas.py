@@ -575,6 +575,12 @@ import os as _os  # noqa: E402
 # Gbit/s) and bit-exact vs pack on hardware
 _ENV_STYLE = _os.environ.get("DVBT_VIT_STYLE", "mxupack")
 
+# styles whose output is the decoded bitstream, bit-exact vs the jnp
+# reference; "notb"/"nodec" are timing diagnostics (no traceback / ACS
+# only) whose output bytes are NOT decoded data
+_EXACT_STYLES = ("pack", "pack2", "mxupack", "regx", "i16")
+_DIAG_STYLES = ("notb", "nodec")
+
 VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MiB scoped-vmem limit
 
 
@@ -625,8 +631,15 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
     """
     if style is None:
         style = _ENV_STYLE
-    assert style in ("pack", "pack2", "mxupack", "regx", "i16",
-                     "notb", "nodec"), style   # notb/nodec: diagnostics only
+        if style not in _EXACT_STYLES:
+            # env resolution admits only bit-exact decoders: a typo'd or
+            # leaked DVBT_VIT_STYLE must never silently select a diagnostic
+            # kernel whose output is not decoded data (ADVICE r4)
+            raise ValueError(
+                f"DVBT_VIT_STYLE={style!r} is not a bit-exact decoder "
+                f"style {_EXACT_STYLES}; diagnostic kernels "
+                f"{_DIAG_STYLES} must be requested explicitly via style=")
+    assert style in _EXACT_STYLES + _DIAG_STYLES, style
     n_slabs = 2 if style == "regx" else 1
     period, keep, rank = _pattern(rate)
     body, ov = punct_geometry(n_bits, rate,

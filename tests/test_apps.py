@@ -115,3 +115,48 @@ def test_array_source_protocol():
     assert len(s.read(4)) == 4
     assert len(s.read(100)) == 6
     assert len(s.read(1)) == 0
+
+
+def test_soapy_read_retries_recoverable_codes():
+    """readStream must retry TIMEOUT/OVERFLOW (recoverable stream
+    conditions) instead of reporting end-of-stream, and raise on fatal
+    codes (ADVICE r4: one overflow at 9.14 Msps silently terminated live
+    reception)."""
+    import ctypes
+
+    import pytest
+
+    from dvbt_tpu.io import soapy
+
+    class FakeLib:
+        def __init__(self, returns):
+            self.returns = list(returns)
+            self.calls = 0
+
+        def SoapySDRDevice_readStream(self, dev, stream, ptrs, n,
+                                      flags, time, timeout):
+            self.calls += 1
+            return self.returns.pop(0)
+
+    def make_dev(returns):
+        d = soapy._CtypesDevice.__new__(soapy._CtypesDevice)
+        d._lib = FakeLib(returns)
+        d._dev = d._stream = None
+        d._flags = ctypes.c_int(0)
+        d._time = ctypes.c_longlong(0)
+        return d
+
+    # overflow then timeout then data: both recoverable codes retried
+    dev = make_dev([soapy.SOAPY_SDR_OVERFLOW, soapy.SOAPY_SDR_TIMEOUT, 7])
+    assert len(dev.read(16)) == 7
+    assert dev._lib.calls == 3
+
+    # persistent timeouts: bounded retries, then EOS (empty read)
+    dev = make_dev([soapy.SOAPY_SDR_TIMEOUT] * soapy._CtypesDevice.READ_RETRIES)
+    assert len(dev.read(16)) == 0
+    assert dev._lib.calls == soapy._CtypesDevice.READ_RETRIES
+
+    # fatal code: raises with the symbolic name, not silent EOS
+    dev = make_dev([-2])
+    with pytest.raises(RuntimeError, match="STREAM_ERROR"):
+        dev.read(16)

@@ -138,3 +138,22 @@ def test_soft_demap_noiseless_byte_exact():
         outs.append(np.asarray(out))
     out = np.concatenate(outs)
     assert np.array_equal(out[DELAY:], packets[:len(out) - DELAY])
+
+
+def test_annex_b_table_checksum():
+    """Pin the EN 300 744 Annex B 20-echo ensemble (rho, theta, tau) with a
+    digest so accidental edits can't silently shift every F1/P1 BER anchor
+    in docs/ (ADVICE r4: the values were transcribed with the reference
+    mount empty; they match the published spec table on inspection, and
+    this freezes exactly that transcription)."""
+    import hashlib
+
+    from dvbt_tpu.models import channel as ch
+
+    for t in (ch._ANNEX_B_RHO, ch._ANNEX_B_THETA, ch._ANNEX_B_TAU_US):
+        assert len(t) == 20
+    blob = ";".join(
+        ",".join(f"{v:.6f}" for v in t)
+        for t in (ch._ANNEX_B_RHO, ch._ANNEX_B_THETA, ch._ANNEX_B_TAU_US))
+    assert hashlib.sha256(blob.encode()).hexdigest() == (
+        "37375a006a028ea615f87be78fbcbb54196958e333b95c18f60ff7cd45c84e55")

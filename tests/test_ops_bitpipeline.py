@@ -279,11 +279,14 @@ def test_demap_midpoint_tiebreak_deterministic():
     assert np.allclose(pts.imag, lv[::-1], atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", ["bf16", "int8"])
 @pytest.mark.parametrize("t,con,alpha", [("2k", "64qam", 0), ("2k", "16qam", 2),
                                          ("8k", "64qam", 0)])
-def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha):
+def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha, dtype):
     """The block-diagonal matmul forms must equal the direct gather/scatter
-    permutation (bit_interleaver._symbol_indices is the oracle)."""
+    permutation (bit_interleaver._symbol_indices is the oracle) — for BOTH
+    MXU operand dtypes: int8 is the bench default (DVBT_ILV=int8, ADVICE r4
+    asked for unit coverage beyond in-situ bench parity)."""
     mode = DvbtMode(t, con, "2/3", alpha=alpha)
     idx = bit_interleaver._symbol_indices(mode)          # (n_payload, v)
     rng = np.random.default_rng(13)
@@ -291,10 +294,11 @@ def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha):
     w = (1 << np.arange(mode.v - 1, -1, -1)).astype(np.int64)
     want_cells = (bits[:, idx].astype(np.int64) * w).sum(axis=-1)
     got_cells = np.asarray(
-        bit_interleaver.make_bit_interleaver(mode)(jnp.asarray(bits)))
+        bit_interleaver.make_bit_interleaver(mode, dtype=dtype)(
+            jnp.asarray(bits)))
     assert np.array_equal(got_cells, want_cells)
 
-    dilv = bit_interleaver.make_bit_deinterleaver(mode)
+    dilv = bit_interleaver.make_bit_deinterleaver(mode, dtype=dtype)
     got_bits = np.asarray(dilv(jnp.asarray(want_cells.astype(np.int32))))
     assert np.array_equal(got_bits, bits)
 
@@ -302,7 +306,8 @@ def test_bit_interleaver_matmul_matches_gather_oracle(t, con, alpha):
     want_soft = np.zeros((3, mode.n_payload * mode.v), np.uint8)
     want_soft[:, idx.reshape(-1)] = soft.reshape(3, -1)
     got_soft = np.asarray(
-        bit_interleaver.make_soft_bit_deinterleaver(mode)(jnp.asarray(soft)))
+        bit_interleaver.make_soft_bit_deinterleaver(mode, dtype=dtype)(
+            jnp.asarray(soft)))
     assert np.array_equal(got_soft, want_soft)
 
 
