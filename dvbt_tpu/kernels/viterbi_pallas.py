@@ -314,6 +314,180 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
 
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
 
+    if style in ("rev", "rev2", "revnd"):
+        # --- bit-REVERSED state storage (round-5 reformulation) ----------
+        # Store path metrics indexed by s^ = bitrev6(s).  In reversed
+        # coordinates the trellis step is s^' = ((s^ << 1) | b) & 63 with
+        # the decision d = dropped MSB of the predecessor, so the two
+        # predecessor planes are pm^[s^>>1] and pm^[32 + (s^>>1)] — a
+        # sublane REPEAT of each contiguous half instead of the natural
+        # ordering's strided even/odd extract + two concats (the measured
+        # relayout cost of the 'pack' styles).  Branch parities come from
+        # the bit-reversed taps: parity(r & G) == parity(rev7(r) & rev7(G))
+        # and rev7(register) = (d << 6) | s^, so
+        #   px0(s^) = parity(s^ & 0x0F)   (rev7(G1) = 0x4F)
+        #   py0(s^) = parity(s^ & 0x2D)   (rev7(G2) = 0x6D)
+        # with d flipping both (both rev taps have bit 6 set), preserving
+        # bm1 = const - bm0.  The whole ACS runs in FLOAT32: every value is
+        # a small integer (pm <= 30 * L < 2^24, exact), f32 rides the
+        # native (8,128) VPU tiling and mul+add chains can fuse to FMA —
+        # the branch metric is 2 fused madds of static 0/1 parity planes
+        # with (1,128) soft rows instead of 2 selects + mask-mul + sub.
+        # Decision d=0 still selects the even NATURAL predecessor, so every
+        # ACS tie-break matches the jnp reference bit-for-bit; the final
+        # argmin tie-breaks on the NATURAL index via a static bitrev plane.
+        dec_ref, = scratch
+        px0 = _parity(s & 0x0F).astype(jnp.float32)      # (64,128) 0/1
+        py0 = _parity(s & 0x2D).astype(jnp.float32)
+        # natural index of reversed-row s^ (for reference-exact tie-break)
+        s_nat = (((s & 1) << 5) | ((s & 2) << 3) | ((s & 4) << 1)
+                 | ((s & 8) >> 1) | ((s & 16) >> 3) | ((s & 32) >> 5))
+
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
+        WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
+              ).astype(jnp.bfloat16)                     # (8, 64)
+
+        def mxupack(dec):
+            P = jnp.dot(WT, dec.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            b = P.astype(jnp.int32)                      # (8, 128) bytes
+            w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
+            w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
+            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
+        def rep2(x):
+            """(32,128) -> (64,128) sublane element-repeat [r0,r0,r1,...]
+            (broadcast+reshape; NB pltpu.repeat TILES [x;x] instead)."""
+            return jnp.broadcast_to(x[:, None, :],
+                                    (32, 2, LANES)).reshape(64, LANES)
+
+        if style == "rev":
+            # f32 ACS + row-folded branch metrics
+            def fwd_iter(wi, pm):
+                # Mosaic has no direct uint8 -> f32 cast (measured r5):
+                # go via int32
+                rows = (in_ref[pl.ds(wi * Wc, Wc), :]
+                        .astype(jnp.int32).astype(jnp.float32))
+                words = []
+                for k in range(W):
+                    q = k % period
+                    base = (k // period) * keep
+                    rx_, ry_ = rank[2 * q], rank[2 * q + 1]
+                    v = (vc > wi * W + k).astype(jnp.float32)   # (1, 128)
+                    a = jnp.zeros((1, LANES), jnp.float32)
+                    const1 = jnp.zeros((1, LANES), jnp.float32)
+                    bm0 = None
+                    if rx_ >= 0:
+                        sx = rows[base + rx_: base + rx_ + 1] * v
+                        a = a + sx
+                        const1 = const1 + 15.0 * v
+                        bm0 = px0 * (15.0 * v - 2.0 * sx)
+                    if ry_ >= 0:
+                        sy = rows[base + ry_: base + ry_ + 1] * v
+                        a = a + sy
+                        const1 = const1 + 15.0 * v
+                        t = py0 * (15.0 * v - 2.0 * sy)
+                        bm0 = t if bm0 is None else bm0 + t
+                    bm0 = a if bm0 is None else bm0 + a
+                    c0 = rep2(pm[:32]) + bm0
+                    c1 = rep2(pm[32:]) + (const1 - bm0)
+                    dec = c1 < c0
+                    pm = jnp.minimum(c0, c1)
+                    words.extend(mxupack(dec))
+                for j in range(n_words):
+                    slab = jnp.concatenate(words[64 * j: 64 * (j + 1)],
+                                           axis=0)
+                    dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
+                return pm
+
+            pm_fin32 = jax.lax.fori_loop(0, n_iter, fwd_iter,
+                                         pm0.astype(jnp.float32))
+        else:
+            # "rev2"/"revnd": reversed layout + repeat butterfly with the
+            # proven int32 select-based branch metrics — isolates the cost
+            # of the repeat relayout from the f32/row-folding changes
+            px0b = px0 > 0
+            py0b = py0 > 0
+
+            def branch_metrics_rev(rows, wi, k):
+                q = k % period
+                base = (k // period) * keep
+                rx_, ry_ = rank[2 * q], rank[2 * q + 1]
+                valid = (vc > wi * W + k).astype(jnp.int32)
+                terms0 = []
+                const1 = 0
+                if rx_ >= 0:
+                    sx = rows[base + rx_: base + rx_ + 1]
+                    terms0.append(jnp.where(px0b, 15 - sx, sx))
+                    const1 += 15
+                if ry_ >= 0:
+                    sy = rows[base + ry_: base + ry_ + 1]
+                    terms0.append(jnp.where(py0b, 15 - sy, sy))
+                    const1 += 15
+                bm0 = terms0[0] if terms0 else jnp.zeros(
+                    (N_STATES, LANES), jnp.int32)
+                for t in terms0[1:]:
+                    bm0 = bm0 + t
+                bm0 = bm0 * valid
+                return bm0, const1 * valid - bm0
+
+            def fwd_iter(wi, pm):
+                rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
+                words = []
+                for k in range(W):
+                    bm0, bm1 = branch_metrics_rev(rows, wi, k)
+                    c0 = rep2(pm[:32]) + bm0
+                    c1 = rep2(pm[32:]) + bm1
+                    pm = jnp.minimum(c0, c1)
+                    if style == "revnd":
+                        continue
+                    dec = c1 < c0
+                    words.extend(mxupack(dec))
+                if style != "revnd":
+                    for j in range(n_words):
+                        slab = jnp.concatenate(words[64 * j: 64 * (j + 1)],
+                                               axis=0)
+                        dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
+                return pm
+
+            pm_int = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
+            if style == "revnd":
+                out_ref[...] = jnp.broadcast_to(
+                    pm_int[0:1].astype(jnp.uint8), (L // 8, LANES))
+                return
+            pm_fin32 = pm_int.astype(jnp.float32)
+
+        # final state: min metric, ties broken by smallest NATURAL index
+        # (pm values are exact integers in f32, so == is safe)
+        pm_min = jnp.min(pm_fin32, axis=0, keepdims=True)
+        nat_end = jnp.min(jnp.where(pm_fin32 == pm_min, s_nat, N_STATES),
+                          axis=0, keepdims=True)          # (1,128) natural
+        # s^_end = bitrev6(nat_end) — row-wise bit ops on (1,128)
+        st0 = (((nat_end & 1) << 5) | ((nat_end & 2) << 3)
+               | ((nat_end & 4) << 1) | ((nat_end & 8) >> 1)
+               | ((nat_end & 16) >> 3) | ((nat_end & 32) >> 5))
+
+        def bwd_pair(i, st):
+            w64 = L // 64 - 1 - i
+            by = [jnp.zeros((1, LANES), jnp.uint32) for _ in range(8)]
+            for half in (1, 0):
+                w = dec_ref[pl.ds(w64 * 2 + half, 1)][0]
+                for k in range(31, -1, -1):
+                    dbit = _tb_bit(w[2 * k: 2 * k + 1],
+                                   w[2 * k + 1: 2 * k + 2], st)
+                    j = half * 4 + k // 8
+                    # emitted bit of step k = input bit entering st = LSB
+                    by[j] = by[j] | ((st & 1).astype(jnp.uint32)
+                                     << np.uint32(7 - (k % 8)))
+                    st = (st >> 1) | (dbit << 5)
+            out_ref[pl.ds(w64 * 8, 8), :] = jnp.concatenate(
+                by, axis=0).astype(jnp.uint8)
+            return st
+
+        jax.lax.fori_loop(0, L // 64, bwd_pair, st0)
+        return
+
     if style == "regx":
         h_ref, a_ref = scratch
 
@@ -427,6 +601,87 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
         pm16 = jax.lax.fori_loop(0, n_iter, fwd_iter,
                                  pm0.astype(jnp.int16))
         pm_fin = pm16.astype(jnp.int32)
+    elif style in ("half", "halfnd"):
+        # --- half-plane ACS (round-5 winner candidate) --------------------
+        # Parity symmetry: pox0(s+32) = pox0(s)^1 and poy0(s+32) =
+        # poy0(s)^1 (bit 5 is in both parity masks s&0b111100 / s&0b101101),
+        # and each tap's two select-arms sum to 15 — so
+        # bm0[32+s] = const*valid - bm0[s] = bm1[s].  The branch metric is
+        # therefore computed on a (32,128) HALF-plane only, and the
+        # (64,128) candidates c0/c1 are never materialized: with
+        # even/odd = the butterfly halves,
+        #   c0 = [even+bm0u ; even+bm1u],  c1 = [odd+bm1u ; odd+bm0u]
+        # which is 4 half-plane adds + 2 half-mins + 2 half-compares —
+        # roughly half the per-step VPU issue count of the full-plane form.
+        # Decisions/tie-breaks are elementwise identical to pack/mxupack.
+        dec_ref, = scratch
+        s32 = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 0)
+        pox_u = _parity((s32 << 1) & G1) > 0      # (32,128) upper parities
+        poy_u = _parity((s32 << 1) & G2) > 0
+
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
+        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
+        WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
+              ).astype(jnp.bfloat16)              # (8, 64) byte weights
+
+        def mxupack(dec):
+            P = jnp.dot(WT, dec.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            b = P.astype(jnp.int32)               # (8, 128) bytes
+            w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
+            w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
+            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
+        def half_metrics(rows, wi, k):
+            q = k % period
+            base = (k // period) * keep
+            rx_, ry_ = rank[2 * q], rank[2 * q + 1]
+            valid = (vc > wi * W + k).astype(jnp.int32)
+            terms0 = []
+            const1 = 0
+            if rx_ >= 0:
+                sx = rows[base + rx_: base + rx_ + 1]
+                terms0.append(jnp.where(pox_u, 15 - sx, sx))
+                const1 += 15
+            if ry_ >= 0:
+                sy = rows[base + ry_: base + ry_ + 1]
+                terms0.append(jnp.where(poy_u, 15 - sy, sy))
+                const1 += 15
+            bm0u = terms0[0] if terms0 else jnp.zeros((32, LANES), jnp.int32)
+            for t in terms0[1:]:
+                bm0u = bm0u + t
+            bm0u = bm0u * valid
+            return bm0u, const1 * valid - bm0u
+
+        def fwd_iter(wi, pm):
+            rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
+            words = []
+            for k in range(W):
+                bm0u, bm1u = half_metrics(rows, wi, k)
+                pm3 = pm.reshape(32, 2, LANES)
+                even, odd = pm3[:, 0], pm3[:, 1]
+                P_ = even + bm0u
+                Q_ = even + bm1u
+                R_ = odd + bm1u
+                S_ = odd + bm0u
+                pm = jnp.concatenate(
+                    [jnp.minimum(P_, R_), jnp.minimum(Q_, S_)], axis=0)
+                if style == "halfnd":
+                    continue
+                dec = jnp.concatenate([R_ < P_, S_ < Q_], axis=0)
+                words.extend(mxupack(dec))
+            if style != "halfnd":
+                for j in range(n_words):
+                    slab = jnp.concatenate(words[64 * j: 64 * (j + 1)],
+                                           axis=0)
+                    dec_ref[pl.ds(wi * n_words + j, 1)] = slab[None]
+            return pm
+
+        pm_fin = jax.lax.fori_loop(0, n_iter, fwd_iter, pm0)
+        if style == "halfnd":
+            out_ref[...] = jnp.broadcast_to(
+                pm_fin[0:1].astype(jnp.uint8), (L // 8, LANES))
+            return
     else:
         dec_ref, = scratch
         sh32 = jax.lax.broadcasted_iota(jnp.int32, (32, LANES), 0)
@@ -578,8 +833,9 @@ _ENV_STYLE = _os.environ.get("DVBT_VIT_STYLE", "mxupack")
 # styles whose output is the decoded bitstream, bit-exact vs the jnp
 # reference; "notb"/"nodec" are timing diagnostics (no traceback / ACS
 # only) whose output bytes are NOT decoded data
-_EXACT_STYLES = ("pack", "pack2", "mxupack", "regx", "i16")
-_DIAG_STYLES = ("notb", "nodec")
+_EXACT_STYLES = ("pack", "pack2", "mxupack", "half", "rev", "rev2",
+                 "regx", "i16")
+_DIAG_STYLES = ("notb", "nodec", "revnd", "halfnd")
 
 VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MiB scoped-vmem limit
 

@@ -35,6 +35,11 @@ from ..ops import (
 )
 from ..utils import bits as bitutils
 
+# frames per lax.map chunk for the symbol-domain TX stages (0 = one-shot
+# full batch); A/B-measured on hardware before changing the default
+import os as _os
+_TX_CHUNK = int(_os.environ.get("DVBT_TX_CHUNK", "0"))
+
 
 def _init_stream_state() -> dict:
     return {
@@ -150,13 +155,32 @@ def make_transmitter(mode: DvbtMode, n_frames: int | None = None,
         else:
             per_sym = hp_bits.reshape(n_frames, SYMBOLS_PER_FRAME,
                                       slots * mode.v)
-        with jax.named_scope("bit_interleave"):
-            cells = bit_ilv(per_sym)                  # (F, 68, C)
-        with jax.named_scope("qam_map"):
-            points = qmap(cells)                      # (F, 68, C) complex
         fidx = state["frame_idx"] + jnp.arange(n_frames, dtype=jnp.int32)
-        with jax.named_scope("frame_build"):
-            carriers = jax.vmap(builder)(fidx, points)  # (F, 68, K)
+
+        def frame_chain(args):
+            ps, fi = args
+            with jax.named_scope("bit_interleave"):
+                cells = bit_ilv(ps)                   # (f, 68, C)
+            with jax.named_scope("qam_map"):
+                points = qmap(cells)                  # (f, 68, C) complex
+            with jax.named_scope("frame_build"):
+                return jax.vmap(builder)(fi, points)  # (f, 68, K)
+
+        # full-batch symbol processing ANTI-SCALES on TPU (frame-build
+        # measured 0.67 ms at 1 frame but 7.4 at 4 — same VMEM/fusion
+        # phenomenon as RS decode, r4); lax.map in frame chunks restores
+        # the small-shape rate.  chunk = n_frames reproduces the one-shot
+        # program exactly.
+        chunk = _TX_CHUNK or n_frames
+        if chunk >= n_frames:
+            carriers = frame_chain((per_sym, fidx))
+        else:
+            assert n_frames % chunk == 0
+            carriers = jax.lax.map(
+                frame_chain,
+                (per_sym.reshape(n_frames // chunk, chunk, *per_sym.shape[1:]),
+                 fidx.reshape(-1, chunk))
+            ).reshape(n_frames, SYMBOLS_PER_FRAME, -1)
         with jax.named_scope("ofdm_mod"):
             iq = modulator(carriers).reshape(-1)
         new_state = dict(hp_state)

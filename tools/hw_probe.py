@@ -201,6 +201,65 @@ def stage_vit4(reps: int = 30):
             sys.stdout.flush()
 
 
+def stage_tx5(reps: int = 20):
+    """Round-5 TX-only A/B: full-batch symbol stages vs lax.map frame
+    chunks (DVBT_TX_CHUNK), at the bench shape (8K, frames=4, mux=8).
+    Frame-build measured 0.67 ms at 1 frame but 7.4 at 4 (r4 ablation) —
+    the RS-decode anti-scaling pattern; chunking is the candidate fix."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu.io import ts as tsio
+    from dvbt_tpu.mode import MODE_8K_UK
+
+    mode = MODE_8K_UK
+    n_frames, mux = 4, 8
+    ref = None
+    for chunk in ("0", "1", "2"):
+        os.environ["DVBT_TX_CHUNK"] = chunk
+        import dvbt_tpu.models.tx as txm
+        importlib.reload(txm)
+        tx, n_pk, n_samp_1 = txm.make_transmitter(mode, n_frames,
+                                                  fft_impl="matmul")
+        vtx = jax.jit(jax.vmap(tx), donate_argnums=(0,))
+        pk1 = tsio.make_ts_packets(n_pk)
+        packets = jnp.asarray(np.stack([pk1] * mux))
+        tst = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (mux,) + x.shape),
+            txm.init_tx_state(mode))
+        try:
+            t0 = time.time()
+            tst, iq = vtx(tst, packets)
+            _ = float(jnp.real(iq.ravel()[0]))
+            log(f"tx5[chunk={chunk}] compile {time.time() - t0:.1f}s")
+            for _ in range(4):
+                tst, iq = vtx(tst, packets)
+            _ = float(jnp.real(iq.ravel()[0]))
+            # complex64 D2H is UNIMPLEMENTED on axon: use the split fetch
+            got = tsio.device_get_complex(iq[0, :100000])
+            if ref is None:
+                ref = got
+            else:
+                log(f"tx5[chunk={chunk}] iq parity vs chunk0: "
+                    f"{bool(np.array_equal(got, ref))}")
+            t0 = time.time()
+            for _ in range(reps):
+                tst, iq = vtx(tst, packets)
+            _ = float(jnp.real(iq.ravel()[0]))
+            dt = (time.time() - t0) / reps
+            msps = mux * n_samp_1 / dt / 1e6
+            log(f"tx5[chunk={chunk}] run {dt * 1e3:.2f} ms  "
+                f"({msps:.0f} Msps tx-only)")
+        except Exception:
+            log(f"tx5[chunk={chunk}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+    os.environ.pop("DVBT_TX_CHUNK", None)
+
+
 def _step_bench(label, metrics="full", fft_impl=None, donate_iq=True,
                 reps=14):
     import jax
@@ -679,4 +738,6 @@ if __name__ == "__main__":
         stage_vit()
     if "vit4" in STAGES:
         stage_vit4()
+    if "tx5" in STAGES:
+        stage_tx5()
     log("probe done")
