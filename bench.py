@@ -247,31 +247,39 @@ def main():
     rx, _, _ = rxm.make_receiver(mode, n_frames, metrics=bench_metrics)
     n_samp = n_samp_1 * n_mux
 
-    # tx and rx are each one jitted program; composing them under one more
-    # jit re-lowers the whole chain into a single XLA module, which the TPU
-    # compiler handles far worse (>15 min) than the two-program pipeline.
-    # The mux batch rides vmap (independent streams on one chip).  Carried
-    # state is donated (rebound every step, never reused).  The IQ block is
-    # loop-carried and donated into the NEXT tx call as a scratch arg whose
-    # buffer the fresh tx output aliases — rx has no complex64 output, so
-    # donating iq into rx was structurally impossible and XLA rejected it
-    # every step ("Some donated buffers were not usable", VERDICT r3 weak
-    # item 2); this form reuses the 147 MB buffer in place with no warning.
+    # Default: tx+rx composed under ONE jit (VERDICT r4 item 5: measured
+    # 89.2 vs 90.4 ms two-program at the bench shape, and it removes a
+    # dispatch + the IQ handoff; the old ">15 min to compile fused"
+    # objection died with the round-4 compile-cache fix — 186 s cold,
+    # seconds warm).  DVBT_BENCH_FUSED=0 restores the two-program pipeline
+    # with the loop-carried donated IQ scratch (see r3/r4 notes).
+    fused_step = os.environ.get("DVBT_BENCH_FUSED", "1") == "1"
+
     def tx_reuse(tx_state, packets, iq_scratch):
         return tx(tx_state, packets)
 
-    if n_mux > 1:
-        vtx = jax.jit(jax.vmap(tx_reuse), donate_argnums=(0, 2),
-                      keep_unused=True)
-        vrx = jax.jit(jax.vmap(rx), donate_argnums=(0,))
-    else:
-        vtx = jax.jit(tx_reuse, donate_argnums=(0, 2), keep_unused=True)
-        vrx = jax.jit(rx, donate_argnums=(0,))
+    def txrx(tx_state, rx_state, packets):
+        tx_state, iq_i = tx(tx_state, packets)
+        rx_state, ts, metrics = rx(rx_state, iq_i)
+        return tx_state, rx_state, ts, metrics
 
-    def step(tx_state, rx_state, iq, packets):
-        tx_state, iq = vtx(tx_state, packets, iq)
-        rx_state, ts, metrics = vrx(rx_state, iq)
-        return tx_state, rx_state, iq, ts, metrics["rs_uncorrectable"]
+    vmap_if = (lambda f: jax.vmap(f)) if n_mux > 1 else (lambda f: f)
+    if fused_step:
+        vstep = jax.jit(vmap_if(txrx), donate_argnums=(0, 1))
+
+        def step(tx_state, rx_state, iq, packets):
+            tx_state, rx_state, ts, metrics = vstep(tx_state, rx_state,
+                                                    packets)
+            return tx_state, rx_state, iq, ts, metrics["rs_uncorrectable"]
+    else:
+        vtx = jax.jit(vmap_if(tx_reuse), donate_argnums=(0, 2),
+                      keep_unused=True)
+        vrx = jax.jit(vmap_if(rx), donate_argnums=(0,))
+
+        def step(tx_state, rx_state, iq, packets):
+            tx_state, iq = vtx(tx_state, packets, iq)
+            rx_state, ts, metrics = vrx(rx_state, iq)
+            return tx_state, rx_state, iq, ts, metrics["rs_uncorrectable"]
 
     def rep(s):
         if n_mux == 1:
@@ -317,8 +325,9 @@ def main():
     # back-to-back collapsed throughput ~30x on this backend (r4 measured
     # 2.9 s/step vs 90 ms at queue depth <= 14) — fetch a scalar every few
     # steps so at most `chunk` executions are ever in flight (the fetch
-    # costs one ~27 ms roundtrip per chunk, ~4% at the bench shape)
-    chunk = int(os.environ.get("DVBT_BENCH_QUEUE", "8"))
+    # costs one ~27 ms roundtrip per chunk; 12 stays inside the measured
+    # safe depth and amortizes it to ~2.8%)
+    chunk = int(os.environ.get("DVBT_BENCH_QUEUE", "12"))
     t0 = time.time()
     done = 0
     while done < iters:
@@ -369,6 +378,8 @@ def main():
             log("bench: tracked-streaming variant...")
             tracked = safe("tracked", lambda: tracked_bench(mode))
 
+    from dvbt_tpu.kernels import viterbi_pallas as _vp
+    from dvbt_tpu.ops import bit_interleaver as _bi
     result = {
         "metric": f"tx_rx_loopback_throughput_{which}",
         "value": round(msps, 3),
@@ -378,7 +389,14 @@ def main():
         "iters": iters,
         "block_samples": n_samp, "n_mux": n_mux, "n_frames": n_frames,
         "compile_s": round(compile_s, 1),
+        # the full effective configuration (VERDICT r4 item 6: the
+        # artifact must self-describe the env-knob choices behind it)
         "metrics_mode": bench_metrics,
+        "fft_impl": os.environ.get("DVBT_FFT", "jnp"),
+        "ilv_dtype": _bi.ILV_DTYPE,
+        "viterbi_style": _vp._ENV_STYLE,
+        "fused_step": fused_step,
+        "tx_chunk": int(os.environ.get("DVBT_TX_CHUNK", "0")),
         "rs_uncorrectable_last_block": n_bad,
         **parity,
         **tracked,

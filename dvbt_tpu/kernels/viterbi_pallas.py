@@ -926,6 +926,29 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
         interpret=interpret,
     )
 
+    def _mxu_T(x):
+        """(A, B) uint8 -> (B, A) via 128x128 MXU tile transposes:
+        out_tile = dot_general(tile, I, contract dim0 x dim0) = tile^T.
+        Byte values 0..255 are exact in bf16; the whole transpose is ~
+        A*B*128 MACs — microseconds on the MXU vs the measured ~5.6 ms/step
+        the XLA uint8 minor<->major relayouts cost at the bench shape."""
+        A, B = x.shape
+        assert A % 128 == 0 and B % 128 == 0, (A, B)
+        t = x.reshape(A // 128, 128, B // 128, 128).astype(jnp.bfloat16)
+        eye = jnp.asarray(np.eye(128, dtype=np.float32), jnp.bfloat16)
+        # out[a, j, b, k] = sum_i t[a, i, b, j] * eye[i, k] = t[a, k, b, j]
+        tt = jax.lax.dot_general(
+            t, eye, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # (A//128, B//128, 128, 128)
+        tt = tt.astype(jnp.uint8)                 # (a, b, j, k) = x[a*, k, b*, j]
+        return tt.transpose(1, 2, 0, 3).reshape(B, A)
+
+    # default xla: the MXU tile transpose measured NEUTRAL standalone
+    # (27.99 vs 27.38 ms — XLA already fuses the glue there) and ~1.5 ms
+    # WORSE in-situ at the bench step (80.8 vs 79.4/78.9 A/B/A, r5); kept
+    # as a parity-tested option for other shapes/backends
+    _USE_MXU_T = _os.environ.get("DVBT_VIT_TRANS", "xla") == "mxu"
+
     def _puncture_tail(x, y):
         """(ov,) x/y tails -> (ov_c,) coded tail (tiny, state conversion)."""
         xg = x.reshape(ov // period, period)
@@ -950,6 +973,20 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
         ym = jnp.tile(jnp.asarray(known[1::2]), ov // period)
         return x, y, xm, ym
 
+    # MXU tile-transpose eligibility: the lane axis (nw) is always 128-
+    # aligned; the sublane axis can be zero-padded to a tile boundary
+    # (the transposed pad lands in columns the slice below never reads)
+    mxu_in = _USE_MXU_T and nw % 128 == 0 and Lc % 128 == 0
+    mxu_out = _USE_MXU_T and nw % 128 == 0
+
+    def _mxu_T_pad0(x):
+        A = x.shape[0]
+        Ap = -(-A // 128) * 128
+        if Ap != A:
+            x = jnp.concatenate(
+                [x, jnp.zeros((Ap - A, x.shape[1]), x.dtype)], axis=0)
+        return _mxu_T(x)
+
     def decode(state, coded):
         ct = _puncture_tail(state["x"], state["y"])
         pad = jnp.zeros((nw * body_c - n_c + body_c,), jnp.uint8)
@@ -958,9 +995,13 @@ def make_viterbi_decoder_punctured(n_bits: int, rate: str,
         w_tail = e[body_c: (nw + 1) * body_c].reshape(
             nw, body_c)[:, : 2 * ov_c]
         wins = jnp.concatenate([w_main, w_tail], axis=1)     # (nw, Lc)
-        outw = call(wins.T)                                   # (L8, nw)
-        body_bytes = outw[ov // 8: (ov + body) // 8]          # (body/8, nw)
-        out = body_bytes.T.reshape(-1)[: n_bits // 8]
+        outw = call(_mxu_T(wins) if mxu_in else wins.T)       # (L8, nw)
+        if mxu_out:
+            outT = _mxu_T_pad0(outw)                          # (nw, L8p)
+            out = outT[:, ov // 8: (ov + body) // 8].reshape(-1)[: n_bits // 8]
+        else:
+            body_bytes = outw[ov // 8: (ov + body) // 8]      # (body/8, nw)
+            out = body_bytes.T.reshape(-1)[: n_bits // 8]
 
         new_ct = jnp.concatenate([ct, coded.astype(jnp.uint8)])[n_c:][:ov_c]
         nx, ny, nxm, nym = _depuncture_tail(new_ct)

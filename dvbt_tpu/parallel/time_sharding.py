@@ -48,9 +48,22 @@ from ..models import rx as rxm, tx as txm
 HALO_PACKETS = 12  # > (2244 + 1) / 204
 
 
-def _info_bits_per_symbol(mode: DvbtMode) -> int:
-    num, den = (int(x) for x in mode.code_rate.split("/"))
-    return mode.n_payload * mode.v * num // den
+def _stream_rate(mode: DvbtMode, stream: str) -> str:
+    return mode.code_rate if stream == "hp" else mode.code_rate_lp
+
+
+def _stream_bits_per_cell(mode: DvbtMode, stream: str) -> int:
+    """Coded bits per constellation cell carried by the stream: the full v
+    for a single stream; hierarchical splits v into HP (y0, y1) + LP
+    (y2..y(v-1)) [EN300744 §4.3.4.1]."""
+    if not mode.hierarchical:
+        return mode.v
+    return 2 if stream == "hp" else mode.v - 2
+
+
+def _info_bits_per_symbol(mode: DvbtMode, stream: str = "hp") -> int:
+    num, den = (int(x) for x in _stream_rate(mode, stream).split("/"))
+    return mode.n_payload * _stream_bits_per_cell(mode, stream) * num // den
 
 
 CHAN_WARMUP = 3  # extra halo symbols feeding the time channel estimator
@@ -62,43 +75,53 @@ def rx_halo_symbols(mode: DvbtMode) -> int:
     symbols so the time channel estimator's pilot history (and the halo
     decode's own estimates) match the streaming receiver exactly — the
     pilot history is a pure function of the last 3 received symbols, so
-    the recompute needs no recursion."""
-    need_bits = ((outer_interleaver.TAIL + 64) * 8
-                 + viterbi.effective_overlap(mode.code_rate))
-    h = -(-need_bits // _info_bits_per_symbol(mode)) + CHAN_WARMUP
+    the recompute needs no recursion.  Hierarchical modes take the max
+    over the HP and LP stream needs (the halo decode rebuilds both)."""
+    streams = ("hp", "lp") if mode.hierarchical else ("hp",)
+    h = 0
+    for stream in streams:
+        need_bits = ((outer_interleaver.TAIL + 64) * 8
+                     + viterbi.effective_overlap(_stream_rate(mode, stream)))
+        h = max(h, -(-need_bits // _info_bits_per_symbol(mode, stream)))
+    h += CHAN_WARMUP
     assert h < SYMBOLS_PER_FRAME
     return h
 
 
-def make_tx_state_from_halo(mode: DvbtMode):
-    """f(block_idx, halo_packets (12, 188)) -> TX carried-state pytree
-    equal to what streaming TX would carry into that block."""
+def make_tx_state_from_halo(mode: DvbtMode, stream: str = "hp"):
+    """f(block_idx, halo_packets (12, 188)) -> TX carried-state pytree for
+    one stream, equal to what streaming TX would carry into that block.
+    ``stream`` selects the packet cadence (hierarchical LP blocks carry a
+    different packet count); the bit pipeline (dispersal -> RS -> outer ->
+    coder state) is rate-independent."""
     n_halo_bytes = HALO_PACKETS * RS_PACKET
     rs_enc = reed_solomon.make_rs_encoder()
 
     def recompute(block_idx: jnp.ndarray, halo: jnp.ndarray) -> dict:
-        p_blk = mode.packets_per_block
+        p_blk = mode.stream_packets_per_block(stream)
         first_pk = block_idx * p_blk
         phase0 = (first_pk - HALO_PACKETS) % 8
         _, randomized = energy.make_energy_dispersal(HALO_PACKETS)(
             phase0, halo)
-        stream = rs_enc(randomized).reshape(-1)        # (2448,)
-        tail = stream[-outer_interleaver.TAIL:]
+        bstream = rs_enc(randomized).reshape(-1)       # (2448,)
+        tail = bstream[-outer_interleaver.TAIL:]
         # interleaved byte at global position G-1 (G = block start):
         # j = (G-1) % 12, src = (G-1) - j*204 relative to stream end
         g1 = first_pk * RS_PACKET - 1
         j = g1 % 12
         src = n_halo_bytes - 1 - j * RS_PACKET         # offset into stream
-        last_byte = stream[src]
+        last_byte = bstream[src]
         coder_state = ((last_byte[None] >> jnp.arange(5, -1, -1)) & 1
                        ).astype(jnp.uint8)
-        return {
+        st = {
             "dispersal_phase": (first_pk % 8).astype(jnp.int32),
             "outer_tail": tail,
             "coder_state": coder_state,
-            "frame_idx": ((block_idx * mode.frames_per_block) % 4
-                          ).astype(jnp.int32),
         }
+        if stream == "hp":       # frame counter rides the HP (top) state
+            st["frame_idx"] = ((block_idx * mode.frames_per_block) % 4
+                               ).astype(jnp.int32)
+        return st
 
     return recompute
 
@@ -117,8 +140,7 @@ def make_rx_state_from_halo(mode: DvbtMode, demap: str = "hard"):
     Hd = H - CHAN_WARMUP          # symbols actually decoded for byte state
     L = mode.symbol_len
     n_blk_sym = mode.frames_per_block * SYMBOLS_PER_FRAME
-    n_info = Hd * _info_bits_per_symbol(mode)
-    ov = viterbi.effective_overlap(mode.code_rate)
+    streams = ("hp", "lp") if mode.hierarchical else ("hp",)
 
     assert demap in ("hard", "soft"), demap
     bins = ofdm._bin_map(mode)
@@ -129,9 +151,18 @@ def make_rx_state_from_halo(mode: DvbtMode, demap: str = "hard"):
     if demap == "soft":
         soft_demap = mapper.make_soft_demapper(mode)
         soft_bit_dilv = bit_interleaver.make_soft_bit_deinterleaver(mode)
-    depunct = inner_coder.make_depuncture(n_info, mode.code_rate)
-    vit = viterbi.make_viterbi_decoder(n_info, body=min(1024, n_info),
-                                       overlap=ov)
+    sdec = {}
+    for s_ in streams:
+        n_info_s = Hd * _info_bits_per_symbol(mode, s_)
+        rate_s = _stream_rate(mode, s_)
+        ov_s = viterbi.effective_overlap(rate_s)
+        sdec[s_] = (
+            inner_coder.make_depuncture(n_info_s, rate_s),
+            viterbi.make_viterbi_decoder(n_info_s,
+                                         body=min(1024, n_info_s),
+                                         overlap=ov_s),
+            ov_s,
+        )
 
     # the halo symbols sit at frame positions (n_blk_sym - H .. n_blk_sym-1)
     # mod 68; the channel estimator / deinterleaver tables are phase-indexed
@@ -165,35 +196,52 @@ def make_rx_state_from_halo(mode: DvbtMode, demap: str = "hard"):
             board_bits = jax.lax.dynamic_slice(
                 board_bits, (first_sym + CHAN_WARMUP, 0),
                 (Hd, board_bits.shape[-1]))
-            bits = board_bits.reshape(-1)
         else:
             cells = cell_dilv(qdemap(X))              # (68, n_payload)
             cells = jax.lax.dynamic_slice(
                 cells, (first_sym + CHAN_WARMUP, 0), (Hd, mode.n_payload))
-            bits = bit_dilv(cells).reshape(-1) * np.uint8(15)  # -> {0,15}
-        x, y, xm, ym = depunct(bits)
-        xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
-        ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
-        vstate = {"x": x[-ov:], "y": y[-ov:], "xm": xm[-ov:], "ym": ym[-ov:]}
-        _, info = vit(viterbi.init_state(ov), x, y, xm, ym)
-        stream = bitutils.bits_to_bytes(info)
-        tail = stream[-outer_interleaver.TAIL:]
-        p_blk = mode.packets_per_block
+            board_bits = bit_dilv(cells) * np.uint8(15)    # -> {0,15}
         first = block_idx == 0
-        return {
-            "deint_tail": jnp.where(first, jnp.zeros_like(tail), tail),
-            "viterbi": jax.tree.map(
-                lambda z, v: jnp.where(first, z, v),
-                viterbi.init_state(ov), vstate),
-            # analytic scrambler group phase: the stream entering RS at
-            # block b starts at TS packet b*P - 11 (outer delay), and the
-            # streaming detector converges to exactly this phase
-            "descr_phase": ((block_idx * p_blk - 11) % 8).astype(jnp.int32),
-            "descr_locked": jnp.asarray(True),
-            "chan_tail": jnp.where(first, jnp.zeros_like(chan_tail),
-                                   chan_tail),
-            "chan_valid": ~first,
-        }
+
+        def stream_state(s_, bits):
+            depunct, vit, ov = sdec[s_]
+            x, y, xm, ym = depunct(bits)
+            xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+            ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+            vstate = {"x": x[-ov:], "y": y[-ov:],
+                      "xm": xm[-ov:], "ym": ym[-ov:]}
+            _, info = vit(viterbi.init_state(ov), x, y, xm, ym)
+            # the halo covers the LAST n bits before a block boundary (a
+            # byte multiple), so the stream's byte grid starts n % 8 bits
+            # into the decoded halo — drop that prefix before packing
+            # (hierarchical LP symbol-info counts need not be % 8)
+            info = info[info.shape[0] % 8:]
+            sbytes = bitutils.bits_to_bytes(info)
+            tail = sbytes[-outer_interleaver.TAIL:]
+            p_blk = mode.stream_packets_per_block(s_)
+            return {
+                "deint_tail": jnp.where(first, jnp.zeros_like(tail), tail),
+                "viterbi": jax.tree.map(
+                    lambda z, v_: jnp.where(first, z, v_),
+                    viterbi.init_state(ov), vstate),
+                # analytic scrambler group phase: the stream entering RS at
+                # block b starts at TS packet b*P - 11 (outer delay), and
+                # the streaming detector converges to exactly this phase
+                "descr_phase": ((block_idx * p_blk - 11) % 8
+                                ).astype(jnp.int32),
+                "descr_locked": jnp.asarray(True),
+            }
+
+        if mode.hierarchical:
+            grouped = board_bits.reshape(Hd, mode.n_payload, mode.v)
+            st = stream_state("hp", grouped[..., :2].reshape(-1))
+            st["lp"] = stream_state("lp", grouped[..., 2:].reshape(-1))
+        else:
+            st = stream_state("hp", board_bits.reshape(-1))
+        st["chan_tail"] = jnp.where(first, jnp.zeros_like(chan_tail),
+                                    chan_tail)
+        st["chan_valid"] = ~first
+        return st
 
     return recompute
 
@@ -216,17 +264,14 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
     single-chip streaming too.
     """
     assert halo in ("ppermute", "ring", "ring-interpret")
-    if mode.hierarchical:
-        # the halo recompute (state-from-halo makers above) rebuilds the
-        # single-stream HP rate algebra only; hierarchical dual-stream
-        # carried state is served by the mux-DP axis (parallel/sharding.py)
-        raise NotImplementedError(
-            "time-axis sharding supports non-hierarchical modes only; "
-            "shard hierarchical streams over the mux-DP axis instead")
     D = mesh.devices.size
     tx, n_pk, n_samp = txm.make_transmitter(mode)
     rx, _, _ = rxm.make_receiver(mode, demap=demap)
-    tx_state_of = make_tx_state_from_halo(mode)
+    # hierarchical modes carry TWO TS streams: packets/halos/TX state are
+    # per-stream (HP + LP), the sample halo and channel state are shared
+    tx_state_of = make_tx_state_from_halo(mode, "hp")
+    tx_state_of_lp = (make_tx_state_from_halo(mode, "lp")
+                      if mode.hierarchical else None)
     rx_state_of = make_rx_state_from_halo(mode, demap)
     H = rx_halo_symbols(mode)
     L = mode.symbol_len
@@ -244,17 +289,28 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
         shift_iq = ring.make_ring_shift("time", interpret=interp,
                                         collective_id=12)
 
+    hier = mode.hierarchical
+
     def local(carry, packets):
-        # packets: (P, 188) on this shard
+        # packets: (P, 188) on this shard; hierarchical: a (hp, lp) pair
         prev_pk, prev_iq, step_idx = carry
         d = jax.lax.axis_index("time")
         block_idx = step_idx * D + d
 
         # --- TX ---------------------------------------------------------
-        my_tail_pk = packets[-HALO_PACKETS:]
-        halo_pk = shift_pk(my_tail_pk)
-        halo_pk = jnp.where(d == 0, prev_pk, halo_pk)
-        tstate = tx_state_of(block_idx, halo_pk)
+        def pk_halo(pk, prev):
+            tail = pk[-HALO_PACKETS:]
+            h = shift_pk(tail)
+            return tail, jnp.where(d == 0, prev, h)
+
+        if hier:
+            my_tail_hp, halo_hp = pk_halo(packets[0], prev_pk[0])
+            my_tail_lp, halo_lp = pk_halo(packets[1], prev_pk[1])
+            tstate = tx_state_of(block_idx, halo_hp)
+            tstate["lp"] = tx_state_of_lp(block_idx, halo_lp)
+        else:
+            my_tail_hp, halo_hp = pk_halo(packets, prev_pk)
+            tstate = tx_state_of(block_idx, halo_hp)
         tstate = jax.tree.map(
             lambda i, r: jnp.where(block_idx == 0, i, r),
             txm.init_tx_state(mode), tstate)
@@ -272,20 +328,27 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
                 metrics["rs_uncorrectable"].sum(), "time"),
         }
         # host carry for the next step: LAST device's tails, replicated
-        last_pk = jax.lax.all_gather(my_tail_pk, "time")[D - 1]
-        last_iq = jax.lax.all_gather(my_tail_iq, "time")[D - 1]
-        return (last_pk, last_iq, step_idx + 1), ts, fleet
+        def last(x):
+            return jax.lax.all_gather(x, "time")[D - 1]
 
+        last_pk = ((last(my_tail_hp), last(my_tail_lp)) if hier
+                   else last(my_tail_hp))
+        return (last_pk, last(my_tail_iq), step_idx + 1), ts, fleet
+
+    pk_spec = (P("time"), P("time")) if hier else P("time")
+    pk_rep = (P(), P()) if hier else P()
+    ts_spec = (P("time"), P("time")) if hier else P("time")
     step = jax.jit(jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=((P(), P(), P()), P("time")),
-        out_specs=((P(), P(), P()), P("time"), P()),
+        in_specs=((pk_rep, P(), P()), pk_spec),
+        out_specs=((pk_rep, P(), P()), ts_spec, P()),
         check_vma=False,
     ))
 
     from ..utils.cplx import czeros
-    carry0 = (jnp.zeros((HALO_PACKETS, 188), jnp.uint8),
+    pk0 = jnp.zeros((HALO_PACKETS, 188), jnp.uint8)
+    carry0 = ((pk0, jnp.zeros_like(pk0)) if hier else pk0,
               czeros((halo_samp,)),   # eager complex64 zeros: axon gap
               jnp.int32(0))
     return step, n_pk, carry0

@@ -135,12 +135,47 @@ def test_time_sharded_8k_flagship_matches_streaming():
     assert np.array_equal(got, ref)
 
 
-def test_time_sharding_rejects_hierarchical():
-    """Hierarchical modes must be fenced loudly (mux-DP covers them)."""
-    mode = DvbtMode("2k", "16qam", "2/3", alpha=1, code_rate_lp="1/2")
-    mesh = Mesh(np.asarray(jax.devices()[:2]), ("time",))
-    with pytest.raises(NotImplementedError):
-        tsh.make_time_sharded_loopback(mode, mesh)
+@pytest.mark.parametrize("demap", ["hard", "soft"])
+def test_time_sharded_hierarchical_matches_streaming(demap):
+    """Hierarchical dual-stream (HP+LP) carried state on the time axis,
+    byte-exact vs streaming for BOTH streams (VERDICT r4 missing item 2 —
+    the last capability not carried by both scaling axes; previously
+    fenced with NotImplementedError)."""
+    mode = DvbtMode("2k", "16qam", "1/2", alpha=2, code_rate_lp="3/4")
+    D = 4
+    mesh = Mesh(np.asarray(jax.devices()[:D]), ("time",))
+    step, (n_hp, n_lp), carry = tsh.make_time_sharded_loopback(
+        mode, mesh, demap=demap)
+    n_steps = 2
+    n_blocks = D * n_steps
+    pk_hp = tsio.make_ts_packets(n_hp * n_blocks, seed=5)
+    pk_lp = tsio.make_ts_packets(n_lp * n_blocks, seed=105)
+
+    tx, _, _ = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode, demap=demap)
+    tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+    refs = ([], [])
+    for b in range(n_blocks):
+        tst, iq = tx(tst, (jnp.asarray(pk_hp[b * n_hp:(b + 1) * n_hp]),
+                           jnp.asarray(pk_lp[b * n_lp:(b + 1) * n_lp])))
+        rst, (ts_hp, ts_lp), _ = rx(rst, iq)
+        refs[0].append(np.asarray(ts_hp))
+        refs[1].append(np.asarray(ts_lp))
+
+    sh = NamedSharding(mesh, P("time"))
+    outs = ([], [])
+    for s in range(n_steps):
+        chunk = (
+            jax.device_put(jnp.asarray(
+                pk_hp[s * D * n_hp:(s + 1) * D * n_hp]), sh),
+            jax.device_put(jnp.asarray(
+                pk_lp[s * D * n_lp:(s + 1) * D * n_lp]), sh))
+        carry, (ts_hp, ts_lp), fleet = step(carry, chunk)
+        outs[0].append(np.asarray(ts_hp))
+        outs[1].append(np.asarray(ts_lp))
+    for i, name in enumerate(("hp", "lp")):
+        assert np.array_equal(np.concatenate(outs[i]),
+                              np.concatenate(refs[i])), (name, demap)
 
 
 def test_rx_halo_symbol_budget():

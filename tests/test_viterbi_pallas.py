@@ -131,3 +131,31 @@ def test_punctured_noiseless_exact_odd_period():
     _, ov = vp.punct_geometry(n_bits, rate)
     _, out = dec(vj.init_state(ov), jnp.asarray(coded))
     assert np.array_equal(np.asarray(out), np.packbits(bits))
+
+
+def test_punctured_mxu_transpose_path():
+    """The MXU tile-transpose windowing glue (DVBT_VIT_TRANS=mxu default)
+    must be byte-exact vs the jnp reference at a shape where BOTH the
+    input (Lc % 128 == 0) and padded output transposes engage — the
+    standard parity shapes above fall back to the XLA transpose."""
+    rate, flips = "2/3", 40
+    n_bits = 8 * 2 * 480 * 4
+    rng = np.random.default_rng(9)
+    bits = rng.integers(0, 2, size=n_bits, dtype=np.uint8)
+    body, ov = 320, vp.punct_geometry(n_bits, rate, 320, 96)[1]
+    L = 320 + 2 * ov
+    assert (L // 2 * 3) % 128 == 0       # input transpose engages
+    dec_j = vj.make_viterbi_decoder(n_bits, body=320, overlap=ov)
+    dec_p = vp.make_viterbi_decoder_punctured(n_bits, rate, body=320,
+                                              overlap=96, interpret=True)
+    coded = _encode_punctured(bits, rate, n_bits)
+    pos = rng.choice(len(coded), flips, replace=False)
+    coded[pos] = 15 - coded[pos]
+    depunct = inner_coder.make_depuncture(n_bits, rate)
+    x, y, xm, ym = depunct(jnp.asarray(coded))
+    xm = jnp.broadcast_to(xm, x.shape).astype(jnp.uint8)
+    ym = jnp.broadcast_to(ym, y.shape).astype(jnp.uint8)
+    _, out_j = dec_j(vj.init_state(ov), x, y, xm, ym)
+    _, out_p = dec_p(vj.init_state(ov), jnp.asarray(coded))
+    assert np.array_equal(np.asarray(out_p),
+                          np.asarray(bitutils.bits_to_bytes(out_j)))

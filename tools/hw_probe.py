@@ -201,6 +201,137 @@ def stage_vit4(reps: int = 30):
             sys.stdout.flush()
 
 
+def stage_vitbody5(reps: int = 30):
+    """Viterbi window-body grid at the bench shape: DEFAULT_BODY caps at
+    4096 but the VMEM budget may admit larger bodies — overlap overhead is
+    2*ov/L (~6.3% at 4096), so a bigger body trades padding for redundant
+    halo compute."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu import tables
+    from dvbt_tpu.mode import MODE_8K_UK, RS_PACKET
+    from dvbt_tpu.kernels import viterbi_pallas
+    from dvbt_tpu.ops import viterbi as vj
+
+    mode = MODE_8K_UK
+    mux, n_frames = 8, 4
+    n_bits = mode.packets_per_block * n_frames * RS_PACKET * 8
+    rate = mode.code_rate
+    ov = vj.effective_overlap(rate)
+    period = len(tables.PUNCTURE[rate][0])
+    keep = len(tables.puncture_serial_order(rate))
+    n_c = n_bits // period * keep
+    rng = np.random.default_rng(0)
+    coded = jnp.asarray(rng.integers(0, 16, (mux, n_c), dtype=np.uint8))
+    ref = None
+    for body in (4096, 2048, 6144, 7936):
+        try:
+            dec = viterbi_pallas.make_viterbi_decoder_punctured(
+                n_bits, rate, body=body, overlap=ov, style="mxupack")
+            vdec = jax.jit(jax.vmap(dec))
+            st = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (mux,) + x.shape),
+                vj.init_state(ov))
+            t0 = time.time()
+            st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            log(f"vitbody5[{body}] compile {time.time() - t0:.1f}s")
+            if ref is None:
+                ref = np.asarray(out)
+            else:
+                log(f"vitbody5[{body}] parity vs 4096: "
+                    f"{bool(np.array_equal(np.asarray(out), ref))}")
+            st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            t0 = time.time()
+            for _ in range(reps):
+                st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            dt = (time.time() - t0) / reps
+            log(f"vitbody5[{body}] run {dt * 1e3:.2f} ms  "
+                f"({mux * n_bits / dt / 1e9:.2f} Gbit/s)")
+        except Exception:
+            log(f"vitbody5[{body}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+
+
+def stage_vtrans5():
+    """In-situ A/B of the decode wrapper's transpose impl inside the FULL
+    bench step (the standalone glue5 harness measured them neutral — the
+    5.6 ms windowing-glue cost only appears in the full-step fusion
+    context, so only an in-situ A/B can decide)."""
+    for trans in ("xla", "mxu", "xla"):
+        os.environ["DVBT_VIT_TRANS"] = trans
+        try:
+            _step_bench(f"vtrans={trans}", metrics="min", fft_impl="matmul")
+        except Exception:
+            log(f"vtrans5[{trans}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+    os.environ.pop("DVBT_VIT_TRANS", None)
+
+
+def stage_glue5(reps: int = 30):
+    """Round-5 windowing-glue A/B: the decode wrapper's (nw, Lc)->(Lc, nw)
+    input transpose + output byte transpose as XLA transposes (r4 form)
+    vs 128x128 MXU tile transposes, same kernel both sides."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dvbt_tpu import tables
+    from dvbt_tpu.mode import MODE_8K_UK, RS_PACKET
+    from dvbt_tpu.kernels import viterbi_pallas
+    from dvbt_tpu.ops import viterbi as vj
+
+    mode = MODE_8K_UK
+    mux, n_frames = 8, 4
+    n_bits = mode.packets_per_block * n_frames * RS_PACKET * 8
+    rate = mode.code_rate
+    ov = vj.effective_overlap(rate)
+    period = len(tables.PUNCTURE[rate][0])
+    keep = len(tables.puncture_serial_order(rate))
+    n_c = n_bits // period * keep
+    rng = np.random.default_rng(0)
+    coded = jnp.asarray(rng.integers(0, 16, (mux, n_c), dtype=np.uint8))
+    ref = None
+    for trans in ("xla", "mxu"):
+        os.environ["DVBT_VIT_TRANS"] = trans
+        try:
+            dec = viterbi_pallas.make_viterbi_decoder_punctured(
+                n_bits, rate, overlap=ov, style="mxupack")
+            vdec = jax.jit(jax.vmap(dec))
+            st = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (mux,) + x.shape),
+                vj.init_state(ov))
+            t0 = time.time()
+            st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            log(f"glue5[{trans}] compile {time.time() - t0:.1f}s")
+            if ref is None:
+                ref = np.asarray(out)
+            else:
+                log(f"glue5[{trans}] parity vs xla: "
+                    f"{bool(np.array_equal(np.asarray(out), ref))}")
+            st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            t0 = time.time()
+            for _ in range(reps):
+                st, out = vdec(st, coded)
+            _ = int(out[0, 0])
+            dt = (time.time() - t0) / reps
+            log(f"glue5[{trans}] run {dt * 1e3:.2f} ms  "
+                f"({mux * n_bits / dt / 1e9:.2f} Gbit/s)")
+        except Exception:
+            log(f"glue5[{trans}] FAILED")
+            traceback.print_exc()
+            sys.stdout.flush()
+    os.environ.pop("DVBT_VIT_TRANS", None)
+
+
 def stage_tx5(reps: int = 20):
     """Round-5 TX-only A/B: full-batch symbol stages vs lax.map frame
     chunks (DVBT_TX_CHUNK), at the bench shape (8K, frames=4, mux=8).
@@ -740,4 +871,10 @@ if __name__ == "__main__":
         stage_vit4()
     if "tx5" in STAGES:
         stage_tx5()
+    if "glue5" in STAGES:
+        stage_glue5()
+    if "vtrans5" in STAGES:
+        stage_vtrans5()
+    if "vitbody5" in STAGES:
+        stage_vitbody5()
     log("probe done")
