@@ -108,13 +108,16 @@ def _make_stream_decoder(mode: DvbtMode, stream: str, n_blocks: int,
 
     out_dilv = outer_interleaver.make_outer_deinterleaver(n_bytes)
     rs_dec = reed_solomon.make_rs_decoder()
-    # RS decode in ~512-codeword chunks via lax.map: one full-batch decode
-    # anti-scales on TPU (measured r4: 15.7 ms for 4032 packets x mux 8 vs
-    # 6.6 ms mapped in 8 chunks — the bit-sliced BM intermediates blow the
-    # fusion/VMEM sweet spot at large batch)
+    # RS decode in ~252-codeword chunks via lax.map: one full-batch decode
+    # anti-scales on TPU (the bit-sliced BM intermediates blow the
+    # fusion/VMEM sweet spot at large batch).  r5 grid at the bench shape
+    # (4032 cw x mux 8): full 15.6 / map2 13.1 / map4 8.9 / map8 6.7 /
+    # map16 5.6 / map32 6.1 ms -> target <=256 per chunk.
+    import os as _os
+    rs_target = int(_os.environ.get("DVBT_RS_CHUNK", "256"))
     n_rs_chunks = 1
     for n in range(1, n_packets + 1):
-        if n_packets % n == 0 and n_packets // n <= 512:
+        if n_packets % n == 0 and n_packets // n <= rs_target:
             n_rs_chunks = n
             break
 

@@ -254,6 +254,12 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
     step(carry, packets (D*P, 188) sharded over 'time')
       -> (carry', ts (D*P, 188) sharded, fleet metrics)
 
+    Hierarchical modes carry TWO transport streams: packets and ts are
+    then (hp, lp) pairs (each sharded over 'time'), n_pk_blk is the
+    (n_hp, n_lp) pair, and the packet halo/TX-state recompute runs per
+    stream while the sample halo and channel state are shared (r5 —
+    closes the last capability gap between the mux-DP and time axes).
+
     Each device transmits and receives one super-block; TX packet halos and
     RX sample halos ride the ICI ring — via `ppermute` (default) or via the
     explicit Pallas RDMA ring (`halo="ring"`; `"ring-interpret"` runs the

@@ -765,7 +765,7 @@ def stage_rs4(reps: int = 30):
 
     timed("1frame", jax.jit(lambda c: rs_dec(c)), cw1)
     timed("4frame", jax.jit(lambda c: rs_dec(c)), cw4)
-    for n in (2, 4, 8):
+    for n in (2, 4, 8, 16, 32):
         def chunked(c, n=n):
             ck = jnp.moveaxis(c.reshape(c.shape[0], n, P4 // n, 204), 1, 0)
             msg, corr, bad = jax.lax.map(rs_dec, ck)
