@@ -292,10 +292,15 @@ def make_receiver(mode: DvbtMode, n_frames: int | None = None,
             if equalize:
                 csi = jnp.abs(H) ** 2
                 csi = csi / jnp.mean(csi, axis=-1, keepdims=True)
+                csi = cell_dilv(csi)
             else:
                 csi = None
-            sm = jnp.moveaxis(soft_demap(X, csi), -1, 1)   # (F, v, 68, K)
-            sm = jnp.moveaxis(cell_dilv(sm), 1, -1)    # (F, 68, C, v)
+            # permute FIRST, demap the 6048 payload cells only (the
+            # elementwise demap commutes with the cell permutation, so
+            # values are bit-identical to demap-then-permute; this drops
+            # the pilot/TPS columns before the expensive max-log metrics
+            # and the v-axis moveaxis dance — VERDICT r4 item 9)
+            sm = soft_demap(cell_dilv(X), csi)         # (F, 68, C, v)
             bits = soft_bit_dilv(sm)                   # (F, 68, C*v) 0..15
         else:
             # hard decisions as saturated soft metrics {0,15} for Viterbi

@@ -48,7 +48,9 @@ def make_sharded_loopback(mode: DvbtMode, mesh: Mesh,
     rx, _, _ = rxm.make_receiver(mode)
 
     def local_step(states, packets):
-        # packets: (B/n_dev, P, 188) on this shard
+        # packets: (B/n_dev, P, 188) on this shard — hierarchical modes
+        # carry an (hp, lp) pair of such arrays (vmap/shard_map treat the
+        # tuple as a pytree, so the same specs apply per leaf)
         tstates, rstates = states
 
         def one(ts_st, rx_st, pk):
@@ -63,6 +65,9 @@ def make_sharded_loopback(mode: DvbtMode, mesh: Mesh,
             "rs_uncorrectable_total": jax.lax.psum(
                 m["rs_uncorrectable"].sum(), "mux"),
         }
+        if mode.hierarchical:
+            fleet["lp_rs_uncorrectable_total"] = jax.lax.psum(
+                m["lp_rs_uncorrectable"].sum(), "mux")
         return (tstates, rstates), out, fleet
 
     step = jax.jit(jax.shard_map(

@@ -43,3 +43,38 @@ def test_sharded_loopback_matches_serial():
         rst, ref, _ = rx(rst, iq)
     assert np.array_equal(out[2], np.asarray(ref))
     assert int(fleet["rs_uncorrectable_total"]) == 0
+
+
+def test_sharded_hierarchical_loopback_matches_serial():
+    """Hierarchical (hp, lp) packet pairs through the mux-DP axis — the
+    VERDICT r4 coverage note assumed 'mux-DP covers hierarchical' but no
+    test drove it; the packets pytree rides the same vmap/shard_map specs
+    per leaf."""
+    from dvbt_tpu.mode import DvbtMode
+
+    mode = DvbtMode("2k", "16qam", "1/2", alpha=2, code_rate_lp="3/4")
+    mesh = sharding.make_mux_mesh(jax.devices()[:4])
+    step, init_states, (n_hp, n_lp) = sharding.make_sharded_loopback(
+        mode, mesh)
+    pk_hp = np.stack([tsio.make_ts_packets(n_hp, seed=i) for i in range(4)])
+    pk_lp = np.stack([tsio.make_ts_packets(n_lp, seed=100 + i)
+                      for i in range(4)])
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    sh = NamedSharding(mesh, P("mux"))
+    pk = (jax.device_put(jnp.asarray(pk_hp), sh),
+          jax.device_put(jnp.asarray(pk_lp), sh))
+    states = init_states()
+    for _ in range(2):
+        states, (out_hp, out_lp), fleet = step(states, pk)
+    assert int(fleet["rs_uncorrectable_total"]) == 0
+    assert int(fleet["lp_rs_uncorrectable_total"]) == 0
+
+    # serial reference for mux 2
+    tx, _, _ = txm.make_transmitter(mode)
+    rx, _, _ = rxm.make_receiver(mode)
+    tst, rst = txm.init_tx_state(mode), rxm.init_rx_state(mode)
+    for _ in range(2):
+        tst, iq = tx(tst, (jnp.asarray(pk_hp[2]), jnp.asarray(pk_lp[2])))
+        rst, (ref_hp, ref_lp), _ = rx(rst, iq)
+    assert np.array_equal(np.asarray(out_hp)[2], np.asarray(ref_hp))
+    assert np.array_equal(np.asarray(out_lp)[2], np.asarray(ref_lp))
