@@ -292,9 +292,13 @@ def main():
         np.stack([pk1] * n_mux) if n_mux > 1 else pk1)
     tst = rep(txm.init_tx_state(mode))
     rst = rep(rxm.init_rx_state(mode))
-    from dvbt_tpu.utils.cplx import czeros
-    iq_shape = (n_mux, n_samp_1) if n_mux > 1 else (n_samp_1,)
-    iq = czeros(iq_shape)   # eager complex64 zeros are UNIMPLEMENTED on axon
+    if fused_step:
+        iq = None     # the fused program keeps IQ internal: no scratch
+    else:
+        from dvbt_tpu.utils.cplx import czeros
+        iq_shape = (n_mux, n_samp_1) if n_mux > 1 else (n_samp_1,)
+        # eager complex64 zeros are UNIMPLEMENTED on axon -> czeros
+        iq = czeros(iq_shape)
 
     def log(msg):
         print(msg, file=sys.stderr, flush=True)

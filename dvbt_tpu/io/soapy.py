@@ -184,9 +184,15 @@ class _CtypesDevice:
                 f"SoapySDR readStream error "
                 f"{_ERR_NAMES.get(got, got)} ({got})")
 
+    # consecutive recoverable-code retries before declaring the TX stream
+    # wedged (1 s timeout each) — an unbounded retry would hang forever
+    # on an unplugged/stalled device
+    WRITE_RETRIES = 8
+
     def write(self, samples: np.ndarray) -> None:
         s = np.ascontiguousarray(samples, np.complex64)
         pos = 0
+        stalls = 0
         while pos < len(s):
             chunk = s[pos:]
             ptrs = (ctypes.c_void_p * 1)(chunk.ctypes.data)
@@ -194,11 +200,18 @@ class _CtypesDevice:
                 self._dev, self._stream, ptrs, len(chunk),
                 ctypes.byref(self._flags), 0, 1_000_000)
             if sent in (SOAPY_SDR_TIMEOUT, SOAPY_SDR_UNDERFLOW):
+                stalls += 1
+                if stalls >= self.WRITE_RETRIES:
+                    raise RuntimeError(
+                        f"SoapySDR writeStream stalled "
+                        f"({stalls} consecutive "
+                        f"{_ERR_NAMES.get(sent, sent)} returns)")
                 continue  # recoverable: retry the same chunk
             if sent <= 0:
                 raise RuntimeError(
                     f"SoapySDR writeStream error "
                     f"{_ERR_NAMES.get(sent, sent)} ({sent})")
+            stalls = 0
             pos += sent
 
     def close(self) -> None:

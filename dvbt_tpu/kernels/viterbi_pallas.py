@@ -314,6 +314,26 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
 
     pm0 = jnp.zeros((N_STATES, LANES), jnp.int32)
 
+    # "mxupack" decision packing, shared by the mxupack/half/rev styles:
+    # route the per-step (64,128) 0/1 decision plane through the MXU
+    # (otherwise idle in this kernel) as one (8,64)@(64,128) bf16 matmul
+    # producing 8 byte-planes (values <= 255, exact in f32), then six
+    # (1,128) shift/ors assemble the two packed uint32 words.  The matmul
+    # depends only on dec(k) — Mosaic can overlap it with the next step's
+    # VPU ACS.
+    r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
+    c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
+    WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
+          ).astype(jnp.bfloat16)                  # (8, 64) byte weights
+
+    def mxupack(dec):
+        P = jnp.dot(WT, dec.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
+        b = P.astype(jnp.int32)                   # (8, 128) bytes
+        w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
+        w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
+        return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
+
     if style in ("rev", "rev2", "revnd"):
         # --- bit-REVERSED state storage (round-5 reformulation) ----------
         # Store path metrics indexed by s^ = bitrev6(s).  In reversed
@@ -342,19 +362,6 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
         # natural index of reversed-row s^ (for reference-exact tie-break)
         s_nat = (((s & 1) << 5) | ((s & 2) << 3) | ((s & 4) << 1)
                  | ((s & 8) >> 1) | ((s & 16) >> 3) | ((s & 32) >> 5))
-
-        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
-        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
-        WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
-              ).astype(jnp.bfloat16)                     # (8, 64)
-
-        def mxupack(dec):
-            P = jnp.dot(WT, dec.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            b = P.astype(jnp.int32)                      # (8, 128) bytes
-            w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
-            w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
-            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
 
         def rep2(x):
             """(32,128) -> (64,128) sublane element-repeat [r0,r0,r1,...]
@@ -619,19 +626,6 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
         pox_u = _parity((s32 << 1) & G1) > 0      # (32,128) upper parities
         poy_u = _parity((s32 << 1) & G2) > 0
 
-        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
-        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
-        WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
-              ).astype(jnp.bfloat16)              # (8, 64) byte weights
-
-        def mxupack(dec):
-            P = jnp.dot(WT, dec.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            b = P.astype(jnp.int32)               # (8, 128) bytes
-            w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
-            w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
-            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
-
         def half_metrics(rows, wi, k):
             q = k % period
             base = (k // period) * keep
@@ -695,26 +689,6 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                          dtype=jnp.int32)
             w1 = jnp.sum(d[32:] << sh32, axis=0, keepdims=True,
                          dtype=jnp.int32)
-            return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
-
-        # "mxupack": route the per-step decision packing through the MXU
-        # (otherwise idle in this kernel) instead of two 32-sublane VPU
-        # reduce trees: one (8,64)@(64,128) bf16 matmul turns the 0/1
-        # decision plane into 8 byte-planes (values <= 255, exact in f32),
-        # and six (1,128) shift/ors assemble the two uint32 words.  The
-        # matmul depends only on dec(k) — Mosaic can overlap it with the
-        # next step's VPU ACS.
-        r8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 1)
-        c8 = jax.lax.broadcasted_iota(jnp.int32, (8, N_STATES), 0)
-        WT = (jnp.where((r8 >> 3) == c8, 1 << (r8 & 7), 0)
-              ).astype(jnp.bfloat16)                  # (8, 64) byte weights
-
-        def mxupack(dec):
-            P = jnp.dot(WT, dec.astype(jnp.bfloat16),
-                        preferred_element_type=jnp.float32)
-            b = P.astype(jnp.int32)                   # (8, 128) bytes
-            w0 = (b[0:1] | (b[1:2] << 8) | (b[2:3] << 16) | (b[3:4] << 24))
-            w1 = (b[4:5] | (b[5:6] << 8) | (b[6:7] << 16) | (b[7:8] << 24))
             return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
 
         def fwd_iter(wi, pm):

@@ -49,21 +49,15 @@ HALO_PACKETS = 12  # > (2244 + 1) / 204
 
 
 def _stream_rate(mode: DvbtMode, stream: str) -> str:
+    """Stream code rate as the registry STRING (effective_overlap and the
+    depuncture maker key on it; DvbtMode.stream_rate returns a Fraction)."""
     return mode.code_rate if stream == "hp" else mode.code_rate_lp
 
 
-def _stream_bits_per_cell(mode: DvbtMode, stream: str) -> int:
-    """Coded bits per constellation cell carried by the stream: the full v
-    for a single stream; hierarchical splits v into HP (y0, y1) + LP
-    (y2..y(v-1)) [EN300744 §4.3.4.1]."""
-    if not mode.hierarchical:
-        return mode.v
-    return 2 if stream == "hp" else mode.v - 2
-
-
 def _info_bits_per_symbol(mode: DvbtMode, stream: str = "hp") -> int:
-    num, den = (int(x) for x in _stream_rate(mode, stream).split("/"))
-    return mode.n_payload * _stream_bits_per_cell(mode, stream) * num // den
+    # delegate the EN300744 §4.3.4.1 HP/LP bit-split to DvbtMode so the
+    # halo sizing can never drift from the mode's own rate algebra
+    return int(mode.stream_info_bits_per_symbol(stream))
 
 
 CHAN_WARMUP = 3  # extra halo symbols feeding the time channel estimator
@@ -187,11 +181,13 @@ def make_rx_state_from_halo(mode: DvbtMode, demap: str = "hard"):
         chan_tail, Hh = chan_est(tail0, jnp.asarray(False), board)
         X = board / Hh
         if demap == "soft":
-            # CSI-weighted metrics, exactly as models/rx.py computes them
+            # CSI-weighted metrics, value-identical to models/rx.py:
+            # normalize CSI over the full carrier axis, then permute-first
+            # and demap the payload cells only (the elementwise demap
+            # commutes with the cell permutation — same r5 fold as rx.py)
             csi = jnp.abs(Hh) ** 2
             csi = csi / jnp.mean(csi, axis=-1, keepdims=True)
-            sm = jnp.moveaxis(soft_demap(X, csi), -1, 0)   # (v, 68, K)
-            sm = jnp.moveaxis(cell_dilv(sm), 0, -1)        # (68, C, v)
+            sm = soft_demap(cell_dilv(X), cell_dilv(csi))  # (68, C, v)
             board_bits = soft_bit_dilv(sm)                 # (68, C*v) 0..15
             board_bits = jax.lax.dynamic_slice(
                 board_bits, (first_sym + CHAN_WARMUP, 0),
@@ -333,6 +329,9 @@ def make_time_sharded_loopback(mode: DvbtMode, mesh: Mesh,
             "rs_uncorrectable_total": jax.lax.psum(
                 metrics["rs_uncorrectable"].sum(), "time"),
         }
+        if hier:
+            fleet["lp_rs_uncorrectable_total"] = jax.lax.psum(
+                metrics["lp_rs_uncorrectable"].sum(), "time")
         # host carry for the next step: LAST device's tails, replicated
         def last(x):
             return jax.lax.all_gather(x, "time")[D - 1]

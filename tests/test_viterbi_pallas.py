@@ -138,6 +138,8 @@ def test_punctured_mxu_transpose_path():
     must be byte-exact vs the jnp reference at a shape where BOTH the
     input (Lc % 128 == 0) and padded output transposes engage — the
     standard parity shapes above fall back to the XLA transpose."""
+    import os
+
     rate, flips = "2/3", 40
     n_bits = 8 * 2 * 480 * 4
     rng = np.random.default_rng(9)
@@ -146,8 +148,16 @@ def test_punctured_mxu_transpose_path():
     L = 320 + 2 * ov
     assert (L // 2 * 3) % 128 == 0       # input transpose engages
     dec_j = vj.make_viterbi_decoder(n_bits, body=320, overlap=ov)
-    dec_p = vp.make_viterbi_decoder_punctured(n_bits, rate, body=320,
-                                              overlap=96, interpret=True)
+    # the transpose impl is resolved from the env at CONSTRUCTION time and
+    # defaults to xla (the measured in-situ winner) — force mxu here or
+    # this test silently exercises the default path (r5 self-review)
+    os.environ["DVBT_VIT_TRANS"] = "mxu"
+    try:
+        dec_p = vp.make_viterbi_decoder_punctured(n_bits, rate, body=320,
+                                                  overlap=96,
+                                                  interpret=True)
+    finally:
+        del os.environ["DVBT_VIT_TRANS"]
     coded = _encode_punctured(bits, rate, n_bits)
     pos = rng.choice(len(coded), flips, replace=False)
     coded[pos] = 15 - coded[pos]
