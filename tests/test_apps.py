@@ -160,3 +160,50 @@ def test_soapy_read_retries_recoverable_codes():
     dev = make_dev([-2])
     with pytest.raises(RuntimeError, match="STREAM_ERROR"):
         dev.read(16)
+
+
+def test_soapy_write_retries_and_stall_bound():
+    """write() must retry recoverable TIMEOUT/UNDERFLOW (resuming the same
+    chunk), advance through partial writes, and raise (not hang) when the
+    TX stream stalls for WRITE_RETRIES consecutive recoverable returns."""
+    import ctypes
+
+    import numpy as np
+    import pytest
+
+    from dvbt_tpu.io import soapy
+
+    class FakeLib:
+        def __init__(self, returns):
+            self.returns = list(returns)
+            self.calls = 0
+
+        def SoapySDRDevice_writeStream(self, dev, stream, ptrs, n,
+                                       flags, time_ns, timeout):
+            self.calls += 1
+            return self.returns.pop(0)
+
+    def make_dev(returns):
+        d = soapy._CtypesDevice.__new__(soapy._CtypesDevice)
+        d._lib = FakeLib(returns)
+        d._dev = d._stream = None
+        d._flags = ctypes.c_int(0)
+        return d
+
+    samples = np.zeros(16, np.complex64)
+    # timeout, partial write (10), underflow, rest (6): completes
+    dev = make_dev([soapy.SOAPY_SDR_TIMEOUT, 10,
+                    soapy.SOAPY_SDR_UNDERFLOW, 6])
+    dev.write(samples)
+    assert dev._lib.calls == 4
+
+    # persistent timeouts: bounded, raises instead of hanging
+    dev = make_dev([soapy.SOAPY_SDR_TIMEOUT] *
+                   soapy._CtypesDevice.WRITE_RETRIES)
+    with pytest.raises(RuntimeError, match="stalled"):
+        dev.write(samples)
+
+    # fatal code: symbolic error
+    dev = make_dev([-3])
+    with pytest.raises(RuntimeError, match="CORRUPTION"):
+        dev.write(samples)
