@@ -691,11 +691,50 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                          dtype=jnp.int32)
             return w0.astype(jnp.uint32), w1.astype(jnp.uint32)
 
+        # "mxubm": branch metrics as ONE skinny (64,2)@(2,128) bf16 MXU
+        # matmul per step — bm0 = PXY @ [dxv; dyv] + av with the 0/1
+        # parity planes as the static lhs — offloading the two (64,128)
+        # VPU selects + mask-mul the select form pays (same move that won
+        # for mxupack's decision packing; everything else identical so the
+        # fusion pattern is minimally perturbed).  All values are small
+        # exact integers in bf16/f32.
+        pxy = jnp.concatenate(
+            [_parity((s[:, :2] << 1) & G1)[:, 0:1],
+             _parity((s[:, :2] << 1) & G2)[:, 0:1]],
+            axis=1).astype(jnp.bfloat16)          # (64, 2) static 0/1
+
+        def branch_metrics_mxu(rows, wi, k):
+            q = k % period
+            base = (k // period) * keep
+            rx_, ry_ = rank[2 * q], rank[2 * q + 1]
+            v = (vc > wi * W + k).astype(jnp.int32)      # (1, 128)
+            zero = jnp.zeros((1, LANES), jnp.int32)
+            a = zero
+            const1 = zero
+            dx, dy = zero, zero
+            if rx_ >= 0:
+                sx = rows[base + rx_: base + rx_ + 1] * v
+                a = a + sx
+                const1 = const1 + 15 * v
+                dx = 15 * v - 2 * sx
+            if ry_ >= 0:
+                sy = rows[base + ry_: base + ry_ + 1] * v
+                a = a + sy
+                const1 = const1 + 15 * v
+                dy = 15 * v - 2 * sy
+            D = jnp.concatenate([dx, dy], axis=0).astype(jnp.bfloat16)
+            bm0 = jnp.dot(pxy, D, preferred_element_type=jnp.float32
+                          ).astype(jnp.int32) + a
+            return bm0, const1 - bm0
+
         def fwd_iter(wi, pm):
             rows = in_ref[pl.ds(wi * Wc, Wc), :].astype(jnp.int32)
             words = []
             for k in range(W):
-                bm0, bm1 = branch_metrics(rows, wi, k)
+                if style == "mxubm":
+                    bm0, bm1 = branch_metrics_mxu(rows, wi, k)
+                else:
+                    bm0, bm1 = branch_metrics(rows, wi, k)
                 ce, co = butterfly(pm)
                 c0, c1 = ce + bm0, co + bm1
                 pm = jnp.minimum(c0, c1)
@@ -704,7 +743,7 @@ def _vit_punct_kernel(in_ref, out_ref, *scratch, L, rate, n_bits,
                 dec = c1 < c0
                 if style in ("pack2", "notb"):
                     words.extend(pack2(dec))
-                elif style == "mxupack":
+                elif style in ("mxupack", "mxubm"):
                     words.extend(mxupack(dec))
                 else:
                     words.extend(_pack_states(dec, s_u))
@@ -807,8 +846,8 @@ _ENV_STYLE = _os.environ.get("DVBT_VIT_STYLE", "mxupack")
 # styles whose output is the decoded bitstream, bit-exact vs the jnp
 # reference; "notb"/"nodec" are timing diagnostics (no traceback / ACS
 # only) whose output bytes are NOT decoded data
-_EXACT_STYLES = ("pack", "pack2", "mxupack", "half", "rev", "rev2",
-                 "regx", "i16")
+_EXACT_STYLES = ("pack", "pack2", "mxupack", "mxubm", "half", "rev",
+                 "rev2", "regx", "i16")
 _DIAG_STYLES = ("notb", "nodec", "revnd", "halfnd")
 
 VMEM_BUDGET = 11 << 20  # leave headroom under the 16 MiB scoped-vmem limit

@@ -87,7 +87,7 @@ def _encode_punctured(bits, rate, n_bits):
 
 
 @pytest.mark.parametrize("style", ["pack", "pack2", "regx", "i16",
-                                   "mxupack", "rev", "rev2", "half"])
+                                   "mxupack", "mxubm", "rev", "rev2", "half"])
 @pytest.mark.parametrize("rate,flips", [
     ("1/2", 0), ("2/3", 40), ("3/4", 24), ("5/6", 12), ("7/8", 8),
 ])
